@@ -1,0 +1,108 @@
+"""Image preprocessing: the CLIP chain (bicubic resize shorter-side -> center crop ->
+scale to [0,1] -> per-channel normalize), TPU-first.
+
+The reference runs this per-image on the host via PIL inside `clip.load`'s preprocess
+Compose (used at reference CLIP/train.py:56, predict.py:27). Here the host only decodes
+to uint8 RGB; everything else is a jitted device function over BATCHES, so the resize /
+crop / normalize ride the VPU and fuse with the encoder's first matmul, and bytes (not
+floats) cross PCIe — 12x less host->device traffic.
+
+CLIP normalization constants (OpenAI):
+  mean (0.48145466, 0.4578275, 0.40821073), std (0.26862954, 0.26130258, 0.27577711).
+torchvision's ImageNet variant (reference attention_model/train.py:32-38) is also
+provided for the show-attend-tell pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def resize_shorter_side_shape(h: int, w: int, size: int) -> tuple[int, int]:
+    """Target (H, W) for 'resize shorter side to `size`' — matches torchvision Resize
+    semantics (round to nearest)."""
+    if h <= w:
+        return size, max(size, int(round(w * size / h)))
+    return max(size, int(round(h * size / w))), size
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "antialias"))
+def _resize(img, out_h: int, out_w: int, antialias: bool = True):
+    return jax.image.resize(img, (out_h, out_w, img.shape[-1]), method="bicubic",
+                            antialias=antialias)
+
+
+def center_crop(img, size: int):
+    h, w = img.shape[-3], img.shape[-2]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return img[..., top: top + size, left: left + size, :]
+
+
+@functools.partial(jax.jit, static_argnames=("mean", "std"))
+def normalize(img01, mean=CLIP_MEAN, std=CLIP_STD):
+    mean = jnp.asarray(mean, dtype=img01.dtype)
+    std = jnp.asarray(std, dtype=img01.dtype)
+    return (img01 - mean) / std
+
+
+def preprocess_image(img_u8: np.ndarray, size: int = 224, *,
+                     mean=CLIP_MEAN, std=CLIP_STD) -> jax.Array:
+    """Single decoded HWC uint8 RGB image -> [size, size, 3] float32, normalized.
+
+    Resize runs on device (one jit specialization per input resolution — construction
+    photo sets have a handful of camera resolutions, so the cache stays small).
+    """
+    h, w = img_u8.shape[:2]
+    th, tw = resize_shorter_side_shape(h, w, size)
+    x = jnp.asarray(img_u8, dtype=jnp.float32) / 255.0
+    x = _resize(x, th, tw)
+    x = center_crop(x, size)
+    return normalize(jnp.clip(x, 0.0, 1.0), tuple(mean), tuple(std))
+
+
+def preprocess_batch(imgs_u8: np.ndarray, size: int = 224, *,
+                     mean=CLIP_MEAN, std=CLIP_STD) -> jax.Array:
+    """[B, H, W, 3] uint8 (uniform shape) -> [B, size, size, 3] float32 normalized.
+
+    The batched hot path: one fused device program, bytes cross the host boundary.
+    """
+    b, h, w, _ = imgs_u8.shape
+    th, tw = resize_shorter_side_shape(h, w, size)
+    return _preprocess_batch_jit(jnp.asarray(imgs_u8), th, tw, size, tuple(mean), tuple(std))
+
+
+@functools.partial(jax.jit, static_argnames=("th", "tw", "size", "mean", "std"))
+def _preprocess_batch_jit(imgs_u8, th: int, tw: int, size: int, mean, std):
+    x = imgs_u8.astype(jnp.float32) / 255.0
+    x = jax.image.resize(x, (x.shape[0], th, tw, 3), method="bicubic", antialias=True)
+    x = center_crop(x, size)
+    return normalize(jnp.clip(x, 0.0, 1.0), mean, std)
+
+
+def pil_reference_preprocess(pil_img, size: int = 224,
+                             mean=CLIP_MEAN, std=CLIP_STD) -> np.ndarray:
+    """Host-side PIL chain replicating the reference's preprocess exactly (golden
+    path for parity tests). Returns [size, size, 3] float32."""
+    from PIL import Image
+
+    w, h = pil_img.size
+    if h <= w:
+        th, tw = size, max(size, int(round(w * size / h)))
+    else:
+        th, tw = max(size, int(round(h * size / w))), size
+    img = pil_img.convert("RGB").resize((tw, th), Image.BICUBIC)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    top = (th - size) // 2
+    left = (tw - size) // 2
+    arr = arr[top: top + size, left: left + size, :]
+    return ((arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)).astype(np.float32)

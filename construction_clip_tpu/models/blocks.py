@@ -1,0 +1,114 @@
+"""Pre-norm transformer blocks, stacked for `lax.scan`.
+
+All transformer stacks in this framework (CLIP vision tower, CLIP text tower, the
+ClipCap TransformerMapper) share this block: LN -> fused-QKV attention -> residual,
+LN -> MLP(act) -> residual. Parameters for L layers are stored STACKED along a leading
+axis so the whole stack applies as one `lax.scan` — one trace/compile of the block
+regardless of depth, uniform sharding annotations per leaf, and `jax.checkpoint`
+rematerialisation appliable per scan step.
+
+The reference's equivalents are torch nn.Modules inside the `clip` pip package
+(ResidualAttentionBlock) and reference CLIP_prefix_caption/train.py:175-231
+(TransformerLayer/Transformer for the mapper).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from construction_clip_tpu.ops.attention import qkv_attention
+from construction_clip_tpu.ops.norms import layer_norm
+
+
+def init_block(key, width: int, mlp_ratio: float = 4.0, dtype=jnp.float32):
+    """One pre-norm block's params. y = x @ W convention ([in, out] weights)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    hidden = int(width * mlp_ratio)
+    std = width ** -0.5
+    return {
+        "ln_1": {"scale": jnp.ones((width,), dtype), "bias": jnp.zeros((width,), dtype)},
+        "attn": {
+            "w_qkv": (jax.random.normal(k1, (width, 3 * width)) * std).astype(dtype),
+            "b_qkv": jnp.zeros((3 * width,), dtype),
+            "w_out": (jax.random.normal(k2, (width, width)) * std).astype(dtype),
+            "b_out": jnp.zeros((width,), dtype),
+        },
+        "ln_2": {"scale": jnp.ones((width,), dtype), "bias": jnp.zeros((width,), dtype)},
+        "mlp": {
+            "w_fc": (jax.random.normal(k3, (width, hidden)) * std).astype(dtype),
+            "b_fc": jnp.zeros((hidden,), dtype),
+            "w_proj": (jax.random.normal(k4, (hidden, width)) * (hidden ** -0.5)).astype(dtype),
+            "b_proj": jnp.zeros((width,), dtype),
+        },
+    }
+
+
+def init_stack(key, layers: int, width: int, mlp_ratio: float = 4.0, dtype=jnp.float32):
+    """Stacked params: every leaf has leading dim `layers`."""
+    keys = jax.random.split(key, layers)
+    blocks = [init_block(k, width, mlp_ratio, dtype) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def apply_block(
+    params,
+    x,
+    *,
+    n_heads: int,
+    act: Callable,
+    bias=None,
+    is_causal: bool = False,
+    ln_eps: float = 1e-5,
+    return_probs: bool = False,
+):
+    h = layer_norm(x, **params["ln_1"], eps=ln_eps)
+    attn_out = qkv_attention(h, params["attn"], n_heads, bias=bias,
+                             is_causal=is_causal, return_probs=return_probs)
+    probs = None
+    if return_probs:
+        attn_out, probs = attn_out
+    x = x + attn_out
+    h = layer_norm(x, **params["ln_2"], eps=ln_eps)
+    h = act(h @ params["mlp"]["w_fc"] + params["mlp"]["b_fc"])
+    x = x + (h @ params["mlp"]["w_proj"] + params["mlp"]["b_proj"])
+    if return_probs:
+        return x, probs
+    return x
+
+
+def apply_stack(
+    stacked_params,
+    x,
+    *,
+    n_heads: int,
+    act: Callable,
+    bias=None,
+    is_causal: bool = False,
+    ln_eps: float = 1e-5,
+    return_probs: bool = False,
+    remat: bool = False,
+):
+    """Apply L stacked blocks via lax.scan.
+
+    With return_probs=True also returns attention probabilities stacked [L, B, H, T, T]
+    (the probe mode that powers relevance-propagation explainability).
+    """
+
+    def body(carry, layer_params):
+        out = apply_block(layer_params, carry, n_heads=n_heads, act=act, bias=bias,
+                          is_causal=is_causal, ln_eps=ln_eps, return_probs=return_probs)
+        if return_probs:
+            new_x, probs = out
+            return new_x, probs
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, probs = jax.lax.scan(body, x, stacked_params)
+    if return_probs:
+        return x, probs
+    return x
