@@ -1,0 +1,224 @@
+"""GPT-2 decoder (HF-compatible), functional JAX, with an HBM KV-cache decode path.
+
+The reference's captioner wraps `GPT2LMHeadModel.from_pretrained('ckiplab/gpt2-base-chinese')`
+(reference CLIP_prefix_caption/train.py:275) and, at generation time, re-runs the FULL
+growing sequence through the model at every step (reference test.py:380-381 — no KV
+cache, O(n^2) per caption). Here the decoder is designed for TPU generation from the
+start:
+
+  - layers stacked for lax.scan (one compiled block regardless of depth);
+  - a static-shape KV cache [L, B, H, T_max, Dh] living in HBM, updated in place via
+    dynamic_update_slice under jit — decode steps are O(n) and fully jittable inside
+    lax.while_loop / lax.scan (see infer/decode.py);
+  - `inputs_embeds` front door (the ClipCap prefix is injected as embeddings, matching
+    reference train.py:263's concat of [prefix, attribute, token] embeddings).
+
+Weight layout note: HF GPT-2 uses Conv1D ([in, out]) for c_attn/c_proj/c_fc — already
+input-major, so the converter copies them without transposition.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from construction_clip_tpu.core.configs import GPT2Config
+from construction_clip_tpu.core.precision import Policy, DEFAULT_POLICY
+from construction_clip_tpu.ops.activations import gelu_new
+from construction_clip_tpu.ops.attention import split_heads, merge_heads
+from construction_clip_tpu.ops.norms import layer_norm
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # [L, B, H, T_max, Dh]
+    v: jax.Array  # [L, B, H, T_max, Dh]
+    length: jax.Array  # int32 scalar: number of valid positions
+
+    @staticmethod
+    def create(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.float32) -> "KVCache":
+        dh = cfg.n_embd // cfg.n_head
+        shape = (cfg.n_layer, batch, cfg.n_head, max_len, dh)
+        return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                       length=jnp.zeros((), jnp.int32))
+
+
+def init_gpt2(key, cfg: GPT2Config, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    d, h = cfg.n_embd, 4 * cfg.n_embd
+
+    def dense(k, i, o, std=0.02):
+        return (jax.random.normal(k, (i, o)) * std).astype(dtype)
+
+    def block(k):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        return {
+            "ln_1": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+            "attn": {
+                "c_attn_w": dense(k1, d, 3 * d), "c_attn_b": jnp.zeros((3 * d,), dtype),
+                "c_proj_w": dense(k2, d, d), "c_proj_b": jnp.zeros((d,), dtype),
+            },
+            "ln_2": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+            "mlp": {
+                "c_fc_w": dense(k3, d, h), "c_fc_b": jnp.zeros((h,), dtype),
+                "c_proj_w": dense(k4, h, d), "c_proj_b": jnp.zeros((d,), dtype),
+            },
+        }
+
+    blocks = [block(k) for k in jax.random.split(ks[0], cfg.n_layer)]
+    return {
+        "wte": dense(ks[1], cfg.vocab_size, cfg.n_embd),
+        "wpe": (jax.random.normal(ks[2], (cfg.n_positions, cfg.n_embd)) * 0.01).astype(dtype),
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "ln_f": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+    }
+
+
+def _attn_with_cache(q, k, v, layer_cache, cache_len, attn_bias):
+    """q,k,v: [B,H,T,Dh] new positions. With a cache, writes k/v at cache_len and
+    attends over the full static cache window with validity+causal masking."""
+    if layer_cache is None:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits *= q.shape[-1] ** -0.5
+        t = q.shape[2]
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        logits = jnp.where(q_pos >= k_pos, logits, jnp.finfo(jnp.float32).min)
+        if attn_bias is not None:
+            logits = logits + attn_bias.astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(q.dtype)
+        return out, None, None
+
+    ck, cv = layer_cache  # [B, H, T_max, Dh]
+    ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_len, 0))
+    cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_len, 0))
+    t_new = q.shape[2]
+    t_max = ck.shape[2]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, ck.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    logits *= q.shape[-1] ** -0.5
+    q_pos = cache_len + jax.lax.broadcasted_iota(jnp.int32, (t_new, t_max), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (t_new, t_max), 1)
+    logits = jnp.where(q_pos >= k_pos, logits, jnp.finfo(jnp.float32).min)
+    if attn_bias is not None:
+        logits = logits + attn_bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), cv.astype(q.dtype),
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out, ck, cv
+
+
+def gpt2_forward(
+    params,
+    cfg: GPT2Config,
+    *,
+    tokens: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    attn_bias: Optional[jax.Array] = None,
+    cache: Optional[KVCache] = None,
+    policy: Policy = DEFAULT_POLICY,
+    remat: bool = False,
+):
+    """Returns (logits [B,T,V], new_cache | None).
+
+    tokens XOR inputs_embeds. With a cache, positions start at cache.length (the new
+    tokens are appended). attn_bias: additive, broadcastable to [B,H,T_q,T_k]
+    (T_k = cache T_max when cached).
+    """
+    p = policy.cast_to_compute(params)
+    if inputs_embeds is None:
+        x = p["wte"][tokens]
+    else:
+        x = inputs_embeds.astype(policy.compute_dtype)
+    start = cache.length if cache is not None else 0
+    t = x.shape[1]
+    positions = start + jnp.arange(t)
+    x = x + p["wpe"][positions]
+
+    n_heads = cfg.n_head
+
+    def body(carry, layer):
+        h = carry
+        if cache is not None:
+            lp, ck, cv = layer
+        else:
+            lp = layer
+        y = layer_norm(h, **lp["ln_1"], eps=cfg.layer_norm_epsilon)
+        qkv = y @ lp["attn"]["c_attn_w"] + lp["attn"]["c_attn_b"]
+        q, k, v = (split_heads(z, n_heads) for z in jnp.split(qkv, 3, axis=-1))
+        out, nk, nv = _attn_with_cache(
+            q, k, v,
+            (ck, cv) if cache is not None else None,
+            start, attn_bias)
+        h = h + merge_heads(out) @ lp["attn"]["c_proj_w"] + lp["attn"]["c_proj_b"]
+        y = layer_norm(h, **lp["ln_2"], eps=cfg.layer_norm_epsilon)
+        y = gelu_new(y @ lp["mlp"]["c_fc_w"] + lp["mlp"]["c_fc_b"])
+        h = h + y @ lp["mlp"]["c_proj_w"] + lp["mlp"]["c_proj_b"]
+        return h, (nk, nv) if cache is not None else None
+
+    if remat:
+        body = jax.checkpoint(body)
+    xs = (p["blocks"], cache.k, cache.v) if cache is not None else p["blocks"]
+    x, kv = jax.lax.scan(body, x, xs)
+
+    x = layer_norm(x, **p["ln_f"], eps=cfg.layer_norm_epsilon)
+    logits = (x @ p["wte"].T).astype(jnp.float32)
+    new_cache = None
+    if cache is not None:
+        nk, nv = kv
+        new_cache = KVCache(k=nk, v=nv, length=cache.length + t)
+    return logits, new_cache
+
+
+def embed_tokens(params, tokens, *, policy: Policy = DEFAULT_POLICY):
+    """wte lookup — the ClipCap model concatenates these with projected prefixes."""
+    return params["wte"][tokens].astype(policy.compute_dtype)
+
+
+def from_hf_state_dict(sd, cfg: GPT2Config):
+    import numpy as np
+
+    def a(k):
+        x = sd[k]
+        if hasattr(x, "detach"):
+            x = x.detach().cpu().numpy()
+        return jnp.asarray(np.asarray(x))
+
+    def pick(*names):
+        for n in names:
+            if n in sd:
+                return n
+        raise KeyError(names)
+
+    prefix = "transformer." if any(k.startswith("transformer.") for k in sd) else ""
+
+    def block(i):
+        b = f"{prefix}h.{i}"
+        return {
+            "ln_1": {"scale": a(f"{b}.ln_1.weight"), "bias": a(f"{b}.ln_1.bias")},
+            "attn": {
+                "c_attn_w": a(f"{b}.attn.c_attn.weight"),  # Conv1D: already [in, out]
+                "c_attn_b": a(f"{b}.attn.c_attn.bias"),
+                "c_proj_w": a(f"{b}.attn.c_proj.weight"),
+                "c_proj_b": a(f"{b}.attn.c_proj.bias"),
+            },
+            "ln_2": {"scale": a(f"{b}.ln_2.weight"), "bias": a(f"{b}.ln_2.bias")},
+            "mlp": {
+                "c_fc_w": a(f"{b}.mlp.c_fc.weight"),
+                "c_fc_b": a(f"{b}.mlp.c_fc.bias"),
+                "c_proj_w": a(f"{b}.mlp.c_proj.weight"),
+                "c_proj_b": a(f"{b}.mlp.c_proj.bias"),
+            },
+        }
+
+    blocks = [block(i) for i in range(cfg.n_layer)]
+    return {
+        "wte": a(pick(f"{prefix}wte.weight")),
+        "wpe": a(pick(f"{prefix}wpe.weight")),
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "ln_f": {"scale": a(f"{prefix}ln_f.weight"), "bias": a(f"{prefix}ln_f.bias")},
+    }

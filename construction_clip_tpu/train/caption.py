@@ -1,0 +1,74 @@
+"""ClipCap caption-LM training step: SPMD data-parallel, optional frozen LM.
+
+Reference loop (reference CLIP_prefix_caption/train.py:326-382): AdamW lr 2e-5, warmup
+5000, CE on the caption slice, ignore_index 0; ClipCaptionPrefix freezes GPT-2 by
+overriding `parameters()` (train.py:287-288). Here freezing is explicit: gradients are
+taken w.r.t. the mapper subtree only, and the optimizer state covers exactly the
+trainable subtree.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from construction_clip_tpu.core.configs import ClipCapConfig, GPT2Config
+from construction_clip_tpu.core.mesh import DATA_AXIS
+from construction_clip_tpu.core.precision import Policy, DEFAULT_POLICY
+from construction_clip_tpu.models.clipcap import clipcap_forward, caption_loss
+from construction_clip_tpu.train.state import TrainState, apply_gradients
+
+
+def make_caption_train_step(ccfg: ClipCapConfig, gcfg: GPT2Config, tx, mesh: Mesh, *,
+                            policy: Policy = DEFAULT_POLICY, remat: bool = False):
+    """Returns jitted (state, gpt_params_or_None, batch) -> (state, metrics).
+
+    only_prefix mode (ccfg.only_prefix=True): state.params is the MAPPER subtree and
+    the frozen gpt params ride as a separate non-donated argument.
+    Full fine-tune: state.params is the whole {"mapper","gpt"} tree, pass None for
+    gpt_params.
+
+    batch: {"tokens": [B,T] i32, "prefix": [B,clip_dim] f32, "attribute": [B,A] i32}.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    only_prefix = ccfg.only_prefix
+
+    def loss_fn(trainable, frozen_gpt, batch):
+        params = {"mapper": trainable, "gpt": frozen_gpt} if only_prefix else trainable
+        logits = clipcap_forward(params, ccfg, gcfg, tokens=batch["tokens"],
+                                 clip_embed=batch["prefix"],
+                                 attribute_tokens=batch["attribute"],
+                                 policy=policy, remat=remat)
+        return caption_loss(logits, batch["tokens"], ccfg)
+
+    def sharded_step(state: TrainState, frozen_gpt, tokens, prefix, attribute):
+        batch = {"tokens": tokens, "prefix": prefix, "attribute": attribute}
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, frozen_gpt, batch)
+        if n_data > 1:
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+        new_state = apply_gradients(state, grads, tx)
+        return new_state, {"loss": loss}
+
+    if n_data > 1:
+        sharded_step = shard_map(
+            sharded_step, mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+
+    @functools.partial(
+        jax.jit,
+        out_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())),
+        donate_argnums=(0,),
+    )
+    def step(state, frozen_gpt, batch):
+        return sharded_step(state, frozen_gpt,
+                            batch["tokens"], batch["prefix"], batch["attribute"])
+
+    return step
