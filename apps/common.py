@@ -1,0 +1,96 @@
+"""Shared CLI plumbing: model/tokenizer loading, corpus paths, compilation cache."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def enable_compilation_cache():
+    import jax
+
+    cache_dir = os.environ.get("CCTPU_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/cctpu_xla"))
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def load_clip(checkpoint: str | None, *, arch: str = "vit_b_32"):
+    """Returns (params, cfg). checkpoint: None -> random init; .pt (OpenAI or HF or
+    fine-tuned state dict) or .npz (ours)."""
+    import jax
+
+    from construction_clip_tpu.core.configs import CLIPConfig
+    from construction_clip_tpu.models.clip import init_clip
+    from construction_clip_tpu.models.clip import convert
+
+    cfg = getattr(CLIPConfig, arch)()
+    if checkpoint is None:
+        return init_clip(jax.random.key(0), cfg), cfg
+    if checkpoint.endswith(".npz"):
+        from construction_clip_tpu.train.checkpoint import load_params_npz
+
+        template = init_clip(jax.random.key(0), cfg)
+        return load_params_npz(checkpoint, template), cfg
+    sd = convert.load_torch_checkpoint(checkpoint)
+    if any(k.startswith("visual.") for k in sd):
+        params, cfg = convert.from_openai_state_dict(sd)
+    else:
+        params = convert.from_hf_state_dict(sd, cfg)
+    return params, cfg
+
+
+def load_clip_tokenizer(merges_path: str | None):
+    """CLIP BPE tokenizer; merges_path None -> look in standard spots."""
+    from construction_clip_tpu.data.clip_tokenizer import ClipTokenizer
+
+    candidates = [merges_path] if merges_path else []
+    candidates += [os.path.expanduser("~/.cache/clip/bpe_simple_vocab_16e6.txt.gz"),
+                   "bpe_simple_vocab_16e6.txt.gz"]
+    for c in candidates:
+        if c and os.path.exists(c):
+            return ClipTokenizer(c)
+    raise FileNotFoundError(
+        "CLIP BPE merges file not found; pass --clip_bpe /path/to/"
+        "bpe_simple_vocab_16e6.txt.gz (ships with OpenAI CLIP)")
+
+
+def load_hf_tokenizer(name_or_path: str):
+    """BERT-style tokenizer for the Chinese GPT-2 (reference uses
+    ckiplab/gpt2-base-chinese = bert-base-chinese vocab). Works offline from a local
+    vocab.txt/tokenizer.json path; falls back to HF hub name when online."""
+    if os.path.isdir(name_or_path) or os.path.exists(name_or_path):
+        from tokenizers import Tokenizer
+
+        if name_or_path.endswith(".json"):
+            return HFTokenizerShim(Tokenizer.from_file(name_or_path))
+        vocab_txt = name_or_path if name_or_path.endswith("vocab.txt") else \
+            os.path.join(name_or_path, "vocab.txt")
+        if os.path.exists(vocab_txt):
+            from tokenizers import BertWordPieceTokenizer
+
+            return HFTokenizerShim(BertWordPieceTokenizer(vocab_txt))
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(name_or_path)
+
+
+class HFTokenizerShim:
+    """Minimal encode/decode facade over a `tokenizers` Tokenizer."""
+
+    def __init__(self, tok):
+        self._tok = tok
+
+    def encode(self, text: str):
+        enc = self._tok.encode(text)
+        return enc.ids
+
+    def decode(self, ids, skip_special_tokens=True):
+        return self._tok.decode(list(int(i) for i in ids),
+                                skip_special_tokens=skip_special_tokens)

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Batch evaluation pipeline (classify -> caption -> plot) — the root `predict.py`
+entry point (reference predict.py:42-88), batched.
+
+Loads a fine-tuned CLIP + ClipCap checkpoint, streams test.json through batched
+classification + captioning, writes predictions JSON and optional annotated figures.
+(Explainability overlays — reference attention.py — via --explain once per-image;
+see construction_clip_tpu/infer/explain.py.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from common import (enable_compilation_cache, load_clip, load_clip_tokenizer,
+                    load_hf_tokenizer)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--json_path", default="test.json")
+    p.add_argument("--image_root", default=".")
+    p.add_argument("--clip_checkpoint", default=None)
+    p.add_argument("--caption_checkpoint", default=None,
+                   help="npz of clipcap params {mapper,gpt} (train_clipcap output)")
+    p.add_argument("--clip_bpe", default=None)
+    p.add_argument("--tokenizer", default="ckiplab/gpt2-base-chinese")
+    p.add_argument("--prefix_length", type=int, default=20)
+    p.add_argument("--attribute_length", type=int, default=20)
+    p.add_argument("--mapping_type", default="mlp")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--beam", action="store_true", default=True)
+    p.add_argument("--greedy", dest="beam", action="store_false")
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--plots", action="store_true", help="write annotated figures")
+    p.add_argument("--explain", action="store_true", help="relevance overlays")
+    args = p.parse_args()
+
+    enable_compilation_cache()
+    import jax
+
+    from construction_clip_tpu.core.configs import ClipCapConfig, GPT2Config
+    from construction_clip_tpu.data.pipeline import default_load_image, host_shape_unify
+    from construction_clip_tpu.data.preprocess import preprocess_batch
+    from construction_clip_tpu.data.schema import load_annotations
+    from construction_clip_tpu.infer.caption import CaptionPipeline
+    from construction_clip_tpu.models.clipcap import init_clipcap
+    from construction_clip_tpu.train.checkpoint import load_params_npz
+
+    clip_params, clip_cfg = load_clip(args.clip_checkpoint)
+    ccfg = ClipCapConfig(prefix_length=args.prefix_length,
+                         attribute_length=args.attribute_length,
+                         mapper=args.mapping_type)
+    gcfg = GPT2Config()
+    cap_params = init_clipcap(jax.random.key(0), ccfg, gcfg)
+    if args.caption_checkpoint:
+        cap_params = load_params_npz(args.caption_checkpoint, cap_params)
+
+    pipe = CaptionPipeline(
+        clip_params=clip_params, clip_cfg=clip_cfg, cap_params=cap_params,
+        ccfg=ccfg, gcfg=gcfg,
+        clip_tokenizer=load_clip_tokenizer(args.clip_bpe),
+        lm_tokenizer=load_hf_tokenizer(args.tokenizer))
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    annotations = load_annotations(args.json_path)
+    results = []
+    batch_imgs, batch_anns = [], []
+
+    def flush():
+        if not batch_imgs:
+            return
+        imgs = preprocess_batch(np.stack(batch_imgs), clip_cfg.vision.image_size)
+        preds = pipe.caption_images(imgs, use_beam=args.beam)
+        for a, pr in zip(batch_anns, preds):
+            rec = {"id": a.id, "file_name": a.file_name,
+                   "ground_truth_caption": a.caption or a.violation_list,
+                   "ground_truth_attribute": f"{a.caption_type} {a.violation_type} ",
+                   **pr}
+            results.append(rec)
+            print(f"{a.file_name}: {pr['attribute']}{pr['caption']}")
+            if args.plots:
+                _plot(os.path.join(args.image_root, a.file_name), rec,
+                      os.path.join(args.output_dir,
+                                   os.path.basename(a.file_name) + ".png"))
+        batch_imgs.clear()
+        batch_anns.clear()
+
+    for a in annotations:
+        try:
+            img = default_load_image(os.path.join(args.image_root, a.file_name))
+        except (FileNotFoundError, OSError) as e:  # reference's skip-on-error
+            print(f"skip {a.file_name}: {e}")
+            continue
+        batch_imgs.append(host_shape_unify(img, 256))
+        batch_anns.append(a)
+        if len(batch_imgs) == args.batch_size:
+            flush()
+    flush()
+
+    out_json = os.path.join(args.output_dir, "output_log.json")
+    with open(out_json, "w", encoding="utf-8") as f:
+        json.dump(results, f, ensure_ascii=False, indent=2)
+    print(f"wrote {out_json} ({len(results)} items)")
+
+
+def _plot(image_path, rec, out_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from PIL import Image
+
+    fig, ax = plt.subplots()
+    ax.imshow(Image.open(image_path))
+    ax.axis("off")
+    ax.set_title(f"pred: {rec['attribute']}{rec['caption']}\n"
+                 f"gt: {rec['ground_truth_attribute']}{rec['ground_truth_caption']}")
+    fig.savefig(out_path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+
+
+if __name__ == "__main__":
+    main()

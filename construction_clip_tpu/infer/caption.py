@@ -1,0 +1,118 @@
+"""End-to-end caption prediction: image -> CLIP embed -> zero-shot attribute ->
+mapper prefix -> GPT-2 decode -> text.
+
+The reference's predict() (reference CLIP_prefix_caption/test.py:516-549, inlined
+again in application.py:92-108 and predict.py:62-76): encode image, zero-shot the
+attribute when none is given ('現況/缺失' + violation_type + ' ', test.py:523-534),
+tokenize/pad the attribute to attribute_length (test.py:536-538), concat
+[clip_project(prefix) ‖ wte(attribute)] and beam-search. Batched here: N images per
+call, one jitted forward + one jitted decode for the whole batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from construction_clip_tpu.core.configs import CLIPConfig, ClipCapConfig, GPT2Config
+from construction_clip_tpu.core.precision import Policy, DEFAULT_POLICY
+from construction_clip_tpu.data.labels import (
+    CAPTION_TYPE_PROMPTS, VIOLATION_TYPES, attribute_string)
+from construction_clip_tpu.infer.decode import greedy_decode, beam_decode
+from construction_clip_tpu.infer.precompute import make_embed_classify_fn
+from construction_clip_tpu.models import gpt2 as gpt2_lib
+from construction_clip_tpu.models.clipcap import map_prefix
+
+
+@dataclasses.dataclass
+class CaptionPipeline:
+    clip_params: dict
+    clip_cfg: CLIPConfig
+    cap_params: dict          # {"mapper", "gpt"}
+    ccfg: ClipCapConfig
+    gcfg: GPT2Config
+    clip_tokenizer: object    # ClipTokenizer (label prompts)
+    lm_tokenizer: object      # BERT-style tokenizer (attribute + captions)
+    policy: Policy = DEFAULT_POLICY
+    stop_token: int = 102     # [SEP] in the BERT-chinese vocab
+    max_steps: int = 100
+    beam_size: int = 3
+    temperature: float = 0.5
+
+    def __post_init__(self):
+        ctx = self.clip_cfg.text.context_length
+        ct = self.clip_tokenizer.tokenize(list(CAPTION_TYPE_PROMPTS), ctx)
+        vt = self.clip_tokenizer.tokenize(list(VIOLATION_TYPES), ctx)
+        self._embed_classify = make_embed_classify_fn(
+            self.clip_params, self.clip_cfg, ct, vt, policy=self.policy)
+
+    # ---- pieces -----------------------------------------------------------
+
+    def classify_and_embed(self, images):
+        """preprocessed images [B,H,W,3] -> (clip_embeds [B,E], attributes [B] str)."""
+        emb, ct, vt = self._embed_classify(images)
+        attrs = [attribute_string(CAPTION_TYPE_PROMPTS[int(c)], VIOLATION_TYPES[int(v)])
+                 for c, v in zip(np.asarray(ct), np.asarray(vt))]
+        return emb, attrs
+
+    def attribute_tokens(self, attributes: Sequence[str]) -> np.ndarray:
+        out = np.zeros((len(attributes), self.ccfg.attribute_length), np.int32)
+        for i, a in enumerate(attributes):
+            ids = self.lm_tokenizer.encode(a)[: self.ccfg.attribute_length]
+            out[i, : len(ids)] = ids
+        return out
+
+    def prompt_embeds(self, clip_embeds, attr_tokens):
+        prefix = map_prefix(self.cap_params["mapper"], self.ccfg, self.gcfg,
+                            clip_embeds, policy=self.policy)
+        attr_emb = gpt2_lib.embed_tokens(self.cap_params["gpt"],
+                                         jnp.asarray(attr_tokens), policy=self.policy)
+        return jnp.concatenate([prefix.astype(attr_emb.dtype), attr_emb], axis=1)
+
+    def decode_to_text(self, tokens: np.ndarray, lengths: np.ndarray) -> list[str]:
+        out = []
+        for row, n in zip(tokens, lengths):
+            ids = [int(t) for t in row[: int(n)] if int(t) != self.stop_token]
+            text = self.lm_tokenizer.decode(ids, skip_special_tokens=True)
+            out.append(text.replace(" ", ""))  # BERT-zh decode inserts spaces
+        return out
+
+    # ---- end to end -------------------------------------------------------
+
+    def caption_images(self, images, *, attributes: Optional[Sequence[str]] = None,
+                       use_beam: bool = True):
+        """images: preprocessed [B,H,W,3]. Returns list of dicts
+        {caption, caption_type, violation_type, attribute}."""
+        emb, auto_attrs = self.classify_and_embed(images)
+        attrs = list(attributes) if attributes is not None else auto_attrs
+        embeds = self.prompt_embeds(emb, self.attribute_tokens(attrs))
+        if use_beam:
+            res = beam_decode(self.cap_params["gpt"], self.gcfg, embeds,
+                              beam_size=self.beam_size, max_steps=self.max_steps,
+                              stop_token=self.stop_token,
+                              temperature=self.temperature, policy=self.policy)
+            toks = np.asarray(res.tokens[:, 0])      # best beam
+            lens = np.asarray(res.lengths[:, 0])
+        else:
+            res = greedy_decode(self.cap_params["gpt"], self.gcfg, embeds,
+                                max_steps=self.max_steps, stop_token=self.stop_token,
+                                policy=self.policy)
+            toks = np.asarray(res.tokens)
+            lens = np.asarray(res.lengths)
+        captions = self.decode_to_text(toks, lens)
+        out = []
+        for cap, attr in zip(captions, attrs):
+            parts = attr.split()
+            ct_zh = parts[0] if parts else ""
+            vt = parts[1] if len(parts) > 1 else ""
+            out.append({
+                "caption": cap,
+                "attribute": attr,
+                "caption_type": "status" if ct_zh == "現況" else "violation",
+                "violation_type": vt,
+            })
+        return out

@@ -1,0 +1,116 @@
+"""Dataset index logic against the real corpus annotations (/root/reference/all.json,
+806 annotations) + the streaming pipeline with synthetic images."""
+
+import collections
+import itertools
+import json
+import os
+
+import numpy as np
+import pytest
+
+from construction_clip_tpu.data.datasets import (
+    PairGroupDataset, CaptionPairDataset, PrecomputedCaptionDataset)
+from construction_clip_tpu.data.pipeline import ImageTextLoader, ArrayLoader
+
+ALL_JSON = "/root/reference/all.json"
+needs_corpus = pytest.mark.skipif(not os.path.exists(ALL_JSON),
+                                  reason="reference corpus not mounted")
+
+
+@needs_corpus
+def test_pair_group_matches_reference_semantics():
+    """Recompute the reference ClipPairDataset grouping (CLIP/train.py:63-99)
+    independently and compare item outputs."""
+    with open(ALL_JSON, encoding="utf-8") as f:
+        anns = [a for a in json.load(f)["annotations"] if a["violation_type"] != ""]
+    c = collections.Counter(a["violation_type"] for a in anns)
+    combos = list(itertools.combinations(c.keys(), 9))
+    train_c = {k: int(v * 0.8) for k, v in c.items()}
+
+    ds = PairGroupDataset(ALL_JSON, key="violation_type", split="train",
+                          train_ratio=0.8, combination_num=9)
+    assert len(ds.groups) == len(combos) == 1  # 9 classes choose 9
+    assert len(ds) == 50  # the reference's hardcoded 50/combination
+
+    # item 7: one annotation per class, round-robin within class
+    files, texts = ds[7]
+    assert len(files) == len(texts) == 9
+    for v, (f, t) in zip(combos[0], zip(files, texts)):
+        group = [a for a in anns if a["violation_type"] == v][: train_c[v]]
+        expect = group[7 % len(group)]
+        assert t == v
+        assert f == expect["file_name"]
+
+    # test split gets the complement
+    ds_test = PairGroupDataset(ALL_JSON, key="violation_type", split="test",
+                               train_ratio=0.8, combination_num=9)
+    f_tr = set(ds[0][0])
+    f_te = set(ds_test[0][0])
+    assert not (f_tr & f_te)
+
+
+@needs_corpus
+def test_pair_group_combinations():
+    ds = PairGroupDataset(ALL_JSON, key="violation_type", split="train",
+                          combination_num=2)
+    assert len(ds.groups) == 36  # C(9,2)
+    files, texts = ds[51]  # second combination, item 1
+    assert len(files) == 2
+
+
+@needs_corpus
+def test_caption_pair_dataset():
+    ds_tr = CaptionPairDataset(ALL_JSON, key="violation_list", split="train")
+    ds_te = CaptionPairDataset(ALL_JSON, key="violation_list", split="test")
+    with open(ALL_JSON, encoding="utf-8") as f:
+        n = sum(1 for a in json.load(f)["annotations"] if a["violation_list"] != "")
+    assert len(ds_tr) == int(n * 0.8)
+    assert len(ds_tr) + len(ds_te) == n
+    f, t = ds_tr[0]
+    assert isinstance(f, str) and isinstance(t, str) and t
+
+
+@needs_corpus
+def test_image_text_loader_pipeline(rng):
+    """End-to-end streaming with synthetic images; batch shapes + device residency."""
+    import jax
+
+    ds = CaptionPairDataset(ALL_JSON, key="violation_list", split="test")
+
+    def fake_load(path):
+        h = 300 + (hash(path) % 3) * 50  # mixed resolutions
+        return (np.ones((h, 400, 3)) * (hash(path) % 255)).astype(np.uint8)
+
+    def fake_tokenize(texts):
+        return np.zeros((len(texts), 16), np.int32)
+
+    loader = ImageTextLoader(ds, fake_tokenize, batch_size=4, image_size=64,
+                             load_image=fake_load, num_threads=2)
+    batches = list(itertools.islice(iter(loader), 3))
+    assert len(batches) == 3
+    for b in batches:
+        assert b["images"].shape == (4, 64, 64, 3)
+        assert b["images"].dtype == np.uint8
+        assert b["tokens"].shape == (4, 16)
+        assert isinstance(b["images"], jax.Array)
+
+
+def test_array_loader(rng):
+    arrays = {"prefix": rng.standard_normal((20, 8)).astype(np.float32),
+              "tokens": rng.integers(0, 10, (20, 5)).astype(np.int32)}
+    loader = ArrayLoader(arrays, batch_size=8)
+    bs = list(iter(loader))
+    assert len(bs) == 2
+    assert bs[0]["prefix"].shape == (8, 8)
+    # different epochs shuffle differently
+    b2 = list(iter(loader))
+    assert not np.array_equal(np.asarray(bs[0]["tokens"]), np.asarray(b2[0]["tokens"]))
+
+
+def test_precomputed_dataset(rng):
+    ds = PrecomputedCaptionDataset(rng.standard_normal((5, 4)),
+                                   rng.integers(0, 9, (5, 3)),
+                                   rng.integers(0, 9, (5, 2)))
+    e, a, c = ds[2]
+    assert e.shape == (4,) and a.shape == (2,) and c.shape == (3,)
