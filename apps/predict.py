@@ -25,6 +25,8 @@ def main():
     p.add_argument("--json_path", default="test.json")
     p.add_argument("--image_root", default=".")
     p.add_argument("--clip_checkpoint", default=None)
+    p.add_argument("--arch", default="vit_b_32",
+                   choices=["vit_b_32", "vit_b_16", "vit_l_14", "tiny"])
     p.add_argument("--caption_checkpoint", default=None,
                    help="npz of clipcap params {mapper,gpt} (train_clipcap output)")
     p.add_argument("--clip_bpe", default=None)
@@ -51,11 +53,12 @@ def main():
     from construction_clip_tpu.models.clipcap import init_clipcap
     from construction_clip_tpu.train.checkpoint import load_params_npz
 
-    clip_params, clip_cfg = load_clip(args.clip_checkpoint)
+    clip_params, clip_cfg = load_clip(args.clip_checkpoint, arch=args.arch)
+    gcfg = GPT2Config() if args.arch != "tiny" else GPT2Config.tiny()
     ccfg = ClipCapConfig(prefix_length=args.prefix_length,
                          attribute_length=args.attribute_length,
-                         mapper=args.mapping_type)
-    gcfg = GPT2Config()
+                         mapper=args.mapping_type,
+                         clip_dim=clip_cfg.text.embed_dim)
     cap_params = init_clipcap(jax.random.key(0), ccfg, gcfg)
     if args.caption_checkpoint:
         cap_params = load_params_npz(args.caption_checkpoint, cap_params)
@@ -76,7 +79,7 @@ def main():
             return
         imgs = preprocess_batch(np.stack(batch_imgs), clip_cfg.vision.image_size)
         preds = pipe.caption_images(imgs, use_beam=args.beam)
-        for a, pr in zip(batch_anns, preds):
+        for i, (a, pr) in enumerate(zip(batch_anns, preds)):
             rec = {"id": a.id, "file_name": a.file_name,
                    "ground_truth_caption": a.caption or a.violation_list,
                    "ground_truth_attribute": f"{a.caption_type} {a.violation_type} ",
@@ -87,6 +90,11 @@ def main():
                 _plot(os.path.join(args.image_root, a.file_name), rec,
                       os.path.join(args.output_dir,
                                    os.path.basename(a.file_name) + ".png"))
+            if args.explain:
+                _explain(pipe, clip_params, clip_cfg, imgs[i], batch_imgs[i],
+                         pr["caption"] or pr["attribute"],
+                         os.path.join(args.output_dir,
+                                      os.path.basename(a.file_name) + ".relevance.png"))
         batch_imgs.clear()
         batch_anns.clear()
 
@@ -106,6 +114,26 @@ def main():
     with open(out_json, "w", encoding="utf-8") as f:
         json.dump(results, f, ensure_ascii=False, indent=2)
     print(f"wrote {out_json} ({len(results)} items)")
+
+
+def _explain(pipe, clip_params, clip_cfg, preprocessed_img, raw_u8, text, out_path):
+    """Relevance overlay for (image, generated caption) — the reference predict.py
+    attention-figure path (reference predict.py:79-86)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from construction_clip_tpu.infer.explain import (
+        interpret, image_relevance_map, overlay_heatmap)
+
+    tokens = pipe.clip_tokenizer.tokenize([text], clip_cfg.text.context_length)
+    _, R_image = interpret(clip_params, clip_cfg, preprocessed_img[None],
+                           jnp.asarray(tokens))
+    heat = image_relevance_map(np.asarray(R_image)[0, 0], clip_cfg.vision.grid,
+                               out_size=raw_u8.shape[0])
+    heat = np.asarray(Image.fromarray((heat * 255).astype(np.uint8))
+                      .resize((raw_u8.shape[1], raw_u8.shape[0]))) / 255.0
+    Image.fromarray(overlay_heatmap(raw_u8, heat)).save(out_path)
 
 
 def _plot(image_path, rec, out_path):

@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""HTTP serving — the `application.py` entry point: POST /predict (multipart image)
+-> detection + classification + caption JSON; GET /ping; GET /.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from common import (enable_compilation_cache, load_clip, load_clip_tokenizer,
+                    load_hf_tokenizer)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--clip_checkpoint", default=None)
+    p.add_argument("--caption_checkpoint", default=None)
+    p.add_argument("--clip_bpe", default=None)
+    p.add_argument("--tokenizer", default="ckiplab/gpt2-base-chinese")
+    p.add_argument("--arch", default="vit_b_32",
+                   choices=["vit_b_32", "vit_b_16", "vit_l_14", "tiny"])
+    p.add_argument("--prefix_length", type=int, default=20)
+    p.add_argument("--attribute_length", type=int, default=20)
+    p.add_argument("--mapping_type", default="mlp")
+    p.add_argument("--greedy", action="store_true", help="greedy decode instead of beam")
+    args = p.parse_args()
+
+    enable_compilation_cache()
+    import jax
+
+    from construction_clip_tpu.core.configs import ClipCapConfig, GPT2Config
+    from construction_clip_tpu.infer.caption import CaptionPipeline
+    from construction_clip_tpu.models.clipcap import init_clipcap
+    from construction_clip_tpu.serve.app import PredictService, serve
+    from construction_clip_tpu.train.checkpoint import load_params_npz
+
+    clip_params, clip_cfg = load_clip(args.clip_checkpoint, arch=args.arch)
+    ccfg = ClipCapConfig(prefix_length=args.prefix_length,
+                         attribute_length=args.attribute_length,
+                         mapper=args.mapping_type,
+                         clip_dim=clip_cfg.text.embed_dim)
+    gcfg = GPT2Config() if args.arch != "tiny" else GPT2Config.tiny()
+    cap_params = init_clipcap(jax.random.key(0), ccfg, gcfg)
+    if args.caption_checkpoint:
+        cap_params = load_params_npz(args.caption_checkpoint, cap_params)
+
+    pipe = CaptionPipeline(
+        clip_params=clip_params, clip_cfg=clip_cfg, cap_params=cap_params,
+        ccfg=ccfg, gcfg=gcfg,
+        clip_tokenizer=load_clip_tokenizer(args.clip_bpe),
+        lm_tokenizer=load_hf_tokenizer(args.tokenizer))
+    serve(PredictService(pipe, use_beam=not args.greedy),
+          host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -64,10 +64,12 @@ def apply_block(
     is_causal: bool = False,
     ln_eps: float = 1e-5,
     return_probs: bool = False,
+    probs_probe=None,
 ):
     h = layer_norm(x, **params["ln_1"], eps=ln_eps)
     attn_out = qkv_attention(h, params["attn"], n_heads, bias=bias,
-                             is_causal=is_causal, return_probs=return_probs)
+                             is_causal=is_causal, return_probs=return_probs,
+                             probs_probe=probs_probe)
     probs = None
     if return_probs:
         attn_out, probs = attn_out
@@ -90,17 +92,24 @@ def apply_stack(
     is_causal: bool = False,
     ln_eps: float = 1e-5,
     return_probs: bool = False,
+    probs_probe=None,
     remat: bool = False,
 ):
     """Apply L stacked blocks via lax.scan.
 
     With return_probs=True also returns attention probabilities stacked [L, B, H, T, T]
     (the probe mode that powers relevance-propagation explainability).
+    probs_probe: zeros [L, B, H, T, T]; grad w.r.t. it = grad w.r.t. per-layer probs.
     """
 
-    def body(carry, layer_params):
+    def body(carry, layer):
+        if probs_probe is not None:
+            layer_params, probe = layer
+        else:
+            layer_params, probe = layer, None
         out = apply_block(layer_params, carry, n_heads=n_heads, act=act, bias=bias,
-                          is_causal=is_causal, ln_eps=ln_eps, return_probs=return_probs)
+                          is_causal=is_causal, ln_eps=ln_eps,
+                          return_probs=return_probs, probs_probe=probe)
         if return_probs:
             new_x, probs = out
             return new_x, probs
@@ -108,7 +117,8 @@ def apply_stack(
 
     if remat:
         body = jax.checkpoint(body)
-    x, probs = jax.lax.scan(body, x, stacked_params)
+    xs = (stacked_params, probs_probe) if probs_probe is not None else stacked_params
+    x, probs = jax.lax.scan(body, x, xs)
     if return_probs:
         return x, probs
     return x

@@ -88,6 +88,7 @@ def encode_image(
     policy: Policy = DEFAULT_POLICY,
     normalize: bool = False,
     return_probs: bool = False,
+    probs_probe=None,
     remat: bool = False,
 ):
     """images: [B, H, W, 3] float (already preprocessed). Returns [B, embed_dim]."""
@@ -101,7 +102,7 @@ def encode_image(
     x = layer_norm(x, **p["ln_pre"])
     out = apply_stack(p["blocks"], x, n_heads=v.heads,
                       act=quick_gelu if cfg.quick_gelu else jax.nn.gelu,
-                      return_probs=return_probs, remat=remat)
+                      return_probs=return_probs, probs_probe=probs_probe, remat=remat)
     probs = None
     if return_probs:
         out, probs = out
@@ -122,6 +123,7 @@ def encode_text(
     policy: Policy = DEFAULT_POLICY,
     normalize: bool = False,
     return_probs: bool = False,
+    probs_probe=None,
 ):
     """tokens: [B, context_length] int32. Returns [B, embed_dim].
 
@@ -133,7 +135,8 @@ def encode_text(
     x = x + p["pos_emb"][: tokens.shape[1]]
     out = apply_stack(p["blocks"], x, n_heads=t.heads,
                       act=quick_gelu if cfg.quick_gelu else jax.nn.gelu,
-                      is_causal=True, return_probs=return_probs)
+                      is_causal=True, return_probs=return_probs,
+                      probs_probe=probs_probe)
     probs = None
     if return_probs:
         out, probs = out

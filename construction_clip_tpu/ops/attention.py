@@ -53,18 +53,22 @@ def mha(
     is_causal: bool = False,
     scale: Optional[float] = None,
     return_probs: bool = False,
+    probs_probe: Optional[jax.Array] = None,
     impl: Optional[str] = None,
 ):
     """Scaled dot-product attention over [B, H, T, D] tensors.
 
     bias: additive, broadcastable to [B, H, Tq, Tk] (use jnp.finfo.min for masked).
     Softmax accumulates in fp32; output is cast back to q.dtype.
+    probs_probe: zeros [B, H, Tq, Tk] added to the attention probabilities — a
+    differentiation port: grad w.r.t. the probe IS grad w.r.t. the attention
+    probabilities (powers relevance-propagation explainability, infer/explain.py).
     """
     impl = impl or _IMPL
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
-    if impl == "pallas" and not return_probs:
+    if impl == "pallas" and not return_probs and probs_probe is None:
         from construction_clip_tpu.ops.pallas_attention import flash_attention, supported
 
         if supported(q, k, v, bias=bias):
@@ -77,6 +81,8 @@ def mha(
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
+    if probs_probe is not None:
+        probs = probs + probs_probe.astype(probs.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32).astype(q.dtype)
     if return_probs:
@@ -105,6 +111,7 @@ def qkv_attention(
     bias=None,
     is_causal: bool = False,
     return_probs: bool = False,
+    probs_probe: Optional[jax.Array] = None,
     impl: Optional[str] = None,
 ):
     """Full attention layer: fused-qkv projection -> mha -> output projection.
@@ -124,7 +131,8 @@ def qkv_attention(
         k = kv_x @ wk + bk
         v = kv_x @ wv + bv
     q, k, v = (split_heads(t, n_heads) for t in (q, k, v))
-    out = mha(q, k, v, bias=bias, is_causal=is_causal, return_probs=return_probs, impl=impl)
+    out = mha(q, k, v, bias=bias, is_causal=is_causal, return_probs=return_probs,
+              probs_probe=probs_probe, impl=impl)
     if return_probs:
         out, probs = out
     y = merge_heads(out) @ params["w_out"] + params["b_out"]

@@ -1,0 +1,143 @@
+"""HTTP serving app — the `application.py` contract, stdlib-only (no Flask in this
+image), threaded, with single-init models and a request-batching door left open.
+
+Routes (reference application.py:231-263):
+  POST /predict  multipart file upload -> {"boxes", "labels", "scores",
+                 "caption_type", "violation_type", "caption"}; non-image extensions
+                 rejected with the reference's message.
+  GET  /ping     {"response": <name>}
+  GET  /         "Hello, World!"
+
+The reference loads models at module import and runs Flask's single-threaded debug
+server (application.py:265-282), crossing the device boundary 4x per request. Here a
+PredictService owns one jitted classify+embed forward and one jitted decode; requests
+are serialized through a lock (TPU programs are not reentrant per process) but all
+host work (decode of upload, JSON) is threaded.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+IMAGE_EXTENSIONS = {"ras", "xwd", "bmp", "jpe", "jpg", "jpeg", "xpm", "ief", "pbm",
+                    "tif", "gif", "ppm", "xbm", "tiff", "rgb", "pgm", "png", "pnm"}
+
+
+class PredictService:
+    def __init__(self, caption_pipeline, detector=None, *, use_beam: bool = True):
+        from construction_clip_tpu.serve.detector import NullDetector
+
+        self.pipe = caption_pipeline
+        self.detector = detector or NullDetector()
+        self.use_beam = use_beam
+        self._lock = threading.Lock()
+
+    def predict(self, image_u8: np.ndarray) -> dict:
+        from construction_clip_tpu.data.pipeline import host_shape_unify
+        from construction_clip_tpu.data.preprocess import preprocess_batch
+
+        detection = self.detector.detect(image_u8)
+        with self._lock:  # device work serialized
+            size = self.pipe.clip_cfg.vision.image_size
+            imgs = preprocess_batch(host_shape_unify(image_u8, 256)[None], size)
+            pred = self.pipe.caption_images(imgs, use_beam=self.use_beam)[0]
+        return {
+            "boxes": detection["boxes"],
+            "labels": detection["labels"],
+            "scores": detection["scores"],
+            "caption_type": pred["caption_type"],
+            "violation_type": pred["violation_type"],
+            "caption": pred["caption"],
+        }
+
+
+def _parse_multipart(body: bytes, content_type: str) -> Optional[tuple[str, bytes]]:
+    """Extract (filename, data) of the 'file' field from a multipart body."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        return None
+    boundary = m.group(1).encode()
+    for part in body.split(b"--" + boundary):
+        if b"Content-Disposition" not in part:
+            continue
+        header_end = part.find(b"\r\n\r\n")
+        if header_end < 0:
+            continue
+        headers = part[:header_end].decode("utf-8", "replace")
+        fm = re.search(r'name="file".*?filename="([^"]*)"', headers, re.S)
+        if not fm:
+            continue
+        data = part[header_end + 4:]
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
+        return fm.group(1), data
+    return None
+
+
+def make_handler(service: PredictService):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, obj, code: int = 200):
+            payload = json.dumps(obj, ensure_ascii=False).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            if self.path == "/ping":
+                self._json({"response": "construction_clip_tpu.serve"})
+            elif self.path == "/":
+                body = b"Hello, World!"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._json({"error": "not found"}, 404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            parsed = _parse_multipart(body, ctype) if "multipart" in ctype else None
+            if parsed is None:
+                self._json({"error": "multipart form with a 'file' field required"}, 400)
+                return
+            filename, data = parsed
+            ext = filename.rsplit(".", 1)[-1].lower() if "." in filename else ""
+            if ext not in IMAGE_EXTENSIONS:
+                # reference's exact message (application.py:238)
+                self._json("Please upload an appropriate image file")
+                return
+            try:
+                from PIL import Image
+
+                img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"),
+                                 dtype=np.uint8)
+            except Exception as e:
+                self._json({"error": f"cannot decode image: {e}"}, 400)
+                return
+            self._json(service.predict(img))
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+    return Handler
+
+
+def serve(service: PredictService, *, host: str = "0.0.0.0", port: int = 8000):
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    print(f"serving on {host}:{port}")
+    httpd.serve_forever()

@@ -1,0 +1,117 @@
+"""HTTP serving contract (reference application.py:231-263): /predict multipart ->
+detection+classification+caption JSON; extension filtering; /ping; /."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from construction_clip_tpu.core.configs import (
+    CLIPConfig, VisionConfig, TextConfig, ClipCapConfig, GPT2Config)
+from construction_clip_tpu.models.clip import init_clip
+from construction_clip_tpu.models.clipcap import init_clipcap
+from construction_clip_tpu.infer.caption import CaptionPipeline
+from construction_clip_tpu.serve.app import PredictService, make_handler
+
+
+class TinyLMTok:
+    def encode(self, text):
+        return [min(ord(c) % 120 + 3, 122) for c in text][:10]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(0x4E00 + int(i)) for i in ids)
+
+
+@pytest.fixture(scope="module")
+def server():
+    ccfg_clip = CLIPConfig(
+        vision=VisionConfig(image_size=32, patch_size=8, width=32, layers=2, heads=2,
+                            embed_dim=16),
+        text=TextConfig(vocab_size=600, context_length=12, width=32, layers=2,
+                        heads=2, embed_dim=16),
+    )
+    gcfg = GPT2Config(vocab_size=128, n_positions=64, n_embd=32, n_layer=2, n_head=2)
+    ccfg = ClipCapConfig(prefix_length=3, attribute_length=4, clip_dim=16)
+    clip_params = init_clip(jax.random.key(0), ccfg_clip)
+    cap_params = init_clipcap(jax.random.key(1), ccfg, gcfg)
+
+    import gzip, tempfile, os
+
+    with tempfile.NamedTemporaryFile(suffix=".txt.gz", delete=False) as f:
+        pass
+    with gzip.open(f.name, "wt", encoding="utf-8") as g:
+        g.write("version\n")
+    from construction_clip_tpu.data.clip_tokenizer import ClipTokenizer
+
+    pipe = CaptionPipeline(
+        clip_params=clip_params, clip_cfg=ccfg_clip, cap_params=cap_params,
+        ccfg=ccfg, gcfg=gcfg, clip_tokenizer=ClipTokenizer(f.name, n_merges=None),
+        lm_tokenizer=TinyLMTok(), stop_token=102, max_steps=6, beam_size=2)
+
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(PredictService(pipe)))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+    os.unlink(f.name)
+
+
+def _multipart(filename, data):
+    boundary = "XxBoUnDaRyxX"
+    body = (f"--{boundary}\r\nContent-Disposition: form-data; name=\"file\"; "
+            f"filename=\"{filename}\"\r\nContent-Type: application/octet-stream"
+            f"\r\n\r\n").encode() + data + f"\r\n--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+def _post(url, body, ctype):
+    req = urllib.request.Request(url, data=body, headers={"Content-Type": ctype},
+                                 method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def test_ping_and_home(server):
+    with urllib.request.urlopen(server + "/ping", timeout=10) as r:
+        assert json.loads(r.read())["response"]
+    with urllib.request.urlopen(server + "/", timeout=10) as r:
+        assert r.read() == b"Hello, World!"
+
+
+def test_predict_contract(server):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray((np.random.default_rng(0).random((64, 64, 3)) * 255)
+                    .astype(np.uint8)).save(buf, format="JPEG")
+    body, ctype = _multipart("site.jpg", buf.getvalue())
+    status, out = _post(server + "/predict", body, ctype)
+    assert status == 200
+    assert set(out) == {"boxes", "labels", "scores", "caption_type",
+                        "violation_type", "caption"}
+    assert out["caption_type"] in ("violation", "status")
+    assert isinstance(out["caption"], str)
+    assert out["boxes"] == []  # NullDetector
+
+
+def test_predict_rejects_bad_extension(server):
+    body, ctype = _multipart("notes.txt", b"hello")
+    status, out = _post(server + "/predict", body, ctype)
+    assert status == 200  # reference returns the message with 200
+    assert out == "Please upload an appropriate image file"
+
+
+def test_predict_requires_file_field(server):
+    status, out = _post(server + "/predict", b"{}", "application/json")
+    assert status == 400
+    assert "file" in out["error"]
