@@ -11,6 +11,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def enable_compilation_cache():
     import jax
 
+    if jax.default_backend() != "tpu":
+        # CPU AOT cache entries embed machine features and can SIGILL when the
+        # compile and execute hosts differ — cache only TPU programs.
+        return
     cache_dir = os.environ.get("CCTPU_COMPILE_CACHE",
                                os.path.expanduser("~/.cache/cctpu_xla"))
     os.makedirs(cache_dir, exist_ok=True)
