@@ -76,7 +76,9 @@ def _dense(key, i, o, std, dtype):
 
 def init_t5(key, cfg: T5Config, dtype=jnp.float32):
     inner = cfg.num_heads * cfg.d_kv
-    ks = iter(jax.random.split(key, 8 + 4 * (cfg.num_layers + cfg.num_decoder_layers)))
+    # 7 keys per encoder block, 11 per decoder block, 5 for embeddings/head
+    n_keys = 5 + 7 * cfg.num_layers + 11 * cfg.num_decoder_layers
+    ks = iter(jax.random.split(key, n_keys))
 
     def attn_params():
         return {
