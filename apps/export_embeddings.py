@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""GPT-2 word-embedding PCA export — the `CLIP_prefix_caption/export_prediction.py`
+entry point (reference export_prediction.py:500-530): take the most frequent caption
+tokens, project their LM embedding rows to 1-D with PCA, write "word value" lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+
+import numpy as np
+
+from common import enable_compilation_cache, load_hf_tokenizer
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--json_path", default="../fengyu/0_all.json")
+    p.add_argument("--tokenizer", default="ckiplab/gpt2-base-chinese")
+    p.add_argument("--gpt_checkpoint", default=None)
+    p.add_argument("--top_k", type=int, default=100)
+    p.add_argument("--out", default="gpt2_embeddings.txt")
+    args = p.parse_args()
+
+    enable_compilation_cache()
+    import jax
+
+    from construction_clip_tpu.core.configs import GPT2Config
+    from construction_clip_tpu.data.schema import load_annotations
+    from construction_clip_tpu.models import gpt2 as gpt2_lib
+
+    tokenizer = load_hf_tokenizer(args.tokenizer)
+    gcfg = GPT2Config()
+    if args.gpt_checkpoint:
+        from construction_clip_tpu.models.clip.convert import load_torch_checkpoint
+
+        params = gpt2_lib.from_hf_state_dict(load_torch_checkpoint(args.gpt_checkpoint), gcfg)
+    else:
+        params = gpt2_lib.init_gpt2(jax.random.key(0), gcfg)
+
+    freq: collections.Counter = collections.Counter()
+    for a in load_annotations(args.json_path):
+        text = a.caption or a.violation_list
+        if text:
+            freq.update(tokenizer.encode(text))
+    top = [t for t, _ in freq.most_common(args.top_k)]
+    if not top:
+        print("no tokens found")
+        return
+
+    wte = np.asarray(params["wte"])[top]  # [k, n_embd]
+    # PCA(1): first principal component of the centered rows
+    centered = wte - wte.mean(axis=0)
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    values = centered @ vt[0]
+
+    with open(args.out, "w", encoding="utf-8") as f:
+        for tok_id, val in zip(top, values):
+            word = tokenizer.decode([tok_id]).strip()
+            f.write(f"{word} {float(val):.6f}\n")
+    print(f"wrote {args.out}: {len(top)} tokens")
+
+
+if __name__ == "__main__":
+    main()
