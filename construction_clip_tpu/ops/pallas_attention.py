@@ -1,0 +1,102 @@
+"""Fused attention Pallas kernel for the encoder hot path.
+
+Shape regime (SURVEY.md §5): sequences are SHORT — 50 image patches (ViT-B/32),
+77 text tokens, ≤141 decode positions — and batch is large. A streaming flash
+decomposition buys nothing here; the win is FUSION: one kernel per (batch, head)
+computes qk^T -> masked fp32 softmax -> @v entirely in VMEM, so the [T, T]
+probability matrix never round-trips HBM, and the MXU sees back-to-back matmuls.
+
+Layout: q/k/v [B, H, T, D] are flattened to [B*H, T, D]; grid = (B*H // HEADS_PER_TILE,);
+each program processes HEADS_PER_TILE heads' [T, D] panels (grouped so the sublane
+dimension is well-filled for small T).
+
+Falls back (supported() -> False) for: attention bias (padding masks ride the XLA
+path), cross-length causal offsets, very long T (VMEM), or exotic dtypes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+_MAX_T = 1024  # [T, T] fp32 panel must fit VMEM comfortably
+
+
+def supported(q, k, v, *, bias=None) -> bool:
+    if bias is not None:
+        return False
+    if q.ndim != 4 or k.shape != v.shape:
+        return False
+    if q.shape[2] != k.shape[2]:
+        return False  # cross-length (cached decode) rides the XLA path
+    if q.shape[2] > _MAX_T:
+        return False
+    if q.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    return True
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool):
+    # refs: [G, T, D] — G heads per program
+    g, t, d = q_ref.shape
+    q = q_ref[:].astype(jnp.float32)
+    k = k_ref[:].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale          # [G, T, T]
+    if causal:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        logits = jnp.where((q_pos >= k_pos)[None], logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [G, T, D]
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("is_causal", "scale"))
+def flash_attention(q, k, v, *, bias=None, is_causal: bool = False,
+                    scale: float | None = None):
+    """Fused attention; same contract as ops.attention.mha (bias must be None)."""
+    assert bias is None
+    b, h, t, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    bh = b * h
+    # group heads so each program's sublane dim (G*T rows across panels) is busy;
+    # target ~8 panels per program without blowing VMEM for long T.
+    g = 1
+    for cand in (8, 4, 2):
+        if bh % cand == 0 and cand * t * t * 4 <= 4 * 1024 * 1024:
+            g = cand
+            break
+
+    qf = q.reshape(bh, t, d)
+    kf = k.reshape(bh, t, d)
+    vf = v.reshape(bh, t, d)
+
+    grid = (bh // g,)
+    spec = pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=float(scale), causal=is_causal),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * t * t * d,
+            bytes_accessed=3 * bh * t * d * q.dtype.itemsize + bh * t * d * q.dtype.itemsize,
+            transcendentals=bh * t * t,
+        ),
+    )(qf, kf, vf)
+    return out.reshape(b, h, t, d)

@@ -76,6 +76,43 @@ def make_train_step(cfg: CLIPConfig, tx, mesh: Mesh, *,
     return step
 
 
+def make_gspmd_train_step(cfg: CLIPConfig, tx, mesh: Mesh, *,
+                          policy: Policy = DEFAULT_POLICY, remat: bool = False):
+    """TP x DP contrastive step via GSPMD auto-sharding (the ViT-L/14 large-model
+    path, BASELINE.json config 5): params carry Megatron column/row shardings over
+    the "model" axis (parallel/sharding.py), the batch is sharded over "data", and
+    the loss is written as plain global-batch math — XLA inserts every collective
+    (per-block psum for TP, logit-matrix all-gathers for DP) over ICI.
+
+    Returns (step, state_shardings): place state leaves with state_shardings
+    (TrainState.create on TP-sharded params already yields them)."""
+    from construction_clip_tpu.parallel.sharding import clip_param_specs, tree_shardings
+
+    def loss_fn(params, images, tokens):
+        img_f = encode_image(params, cfg, images, policy=policy, normalize=True,
+                             remat=remat)
+        txt_f = encode_text(params, cfg, tokens, policy=policy, normalize=True)
+        loss, logits = local_infonce(img_f, txt_f, params["logit_scale"])
+        labels = jnp.arange(logits.shape[0])
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return loss, acc
+
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(None, {"images": batch_sh, "tokens": batch_sh}),
+        donate_argnums=(0,),
+    )
+    def step(state: TrainState, batch):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch["images"], batch["tokens"])
+        new_state = apply_gradients(state, grads, tx)
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    return step
+
+
 def make_eval_step(cfg: CLIPConfig, mesh: Mesh, *, policy: Policy = DEFAULT_POLICY):
     """Batch accuracy eval, matching the reference's test loop metric
     (reference CLIP/train.py:189-207)."""

@@ -1,0 +1,72 @@
+"""Pallas fused attention vs the XLA reference path (interpret mode on CPU; the same
+kernel compiles natively on TPU — exercised by bench)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from construction_clip_tpu.ops.attention import mha
+from construction_clip_tpu.ops import pallas_attention
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    """CPU test backend: run the kernel in the Pallas interpreter."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(orig, interpret=True))
+    # flash_attention is jitted at import; rebuild it to pick up the patch
+    monkeypatch.setattr(pallas_attention, "flash_attention",
+                        pallas_attention.flash_attention.__wrapped__)
+    yield
+
+
+@pytest.mark.parametrize("shape,causal", [
+    ((2, 4, 50, 64), False),   # ViT-B/32 vision tower shape
+    ((2, 8, 77, 64), True),    # CLIP text tower shape
+    ((1, 2, 16, 32), False),
+])
+def test_matches_xla_path(shape, causal, rng):
+    b, h, t, d = shape
+    q = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    assert pallas_attention.supported(q, k, v)
+    ref = mha(q, k, v, is_causal=causal, impl="xla")
+    out = pallas_attention.flash_attention(q, k, v, is_causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_bf16(rng):
+    shape = (2, 2, 24, 32)
+    q = jnp.asarray(rng.standard_normal(shape), dtype=jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal(shape), dtype=jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal(shape), dtype=jnp.bfloat16)
+    ref = mha(q, k, v, impl="xla")
+    out = pallas_attention.flash_attention(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref, dtype=np.float32), rtol=3e-2, atol=3e-2)
+
+
+def test_supported_gates(rng):
+    q = jnp.zeros((1, 2, 16, 32))
+    assert not pallas_attention.supported(q, q, q, bias=jnp.zeros((1, 1, 1, 16)))
+    assert not pallas_attention.supported(q, jnp.zeros((1, 2, 8, 32)),
+                                          jnp.zeros((1, 2, 8, 32)))
+    assert not pallas_attention.supported(q.astype(jnp.int8), q, q)
+
+
+def test_mha_dispatches_to_pallas(rng):
+    from construction_clip_tpu.ops import attention as attn_mod
+
+    shape = (1, 2, 16, 32)
+    q = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    ref = mha(q, q, q, impl="xla")
+    out = mha(q, q, q, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
