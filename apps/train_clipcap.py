@@ -69,7 +69,9 @@ def main():
     gcfg = GPT2Config()  # ckiplab/gpt2-base-chinese shape
     policy = policy_from_name(args.precision)
 
-    archive = dict(np.load(args.data, allow_pickle=True))
+    from construction_clip_tpu.infer.precompute import load_archive
+
+    archive = load_archive(args.data)  # our .npz or the reference's .pkl
     tokenizer = load_hf_tokenizer(args.tokenizer)
     arrays = tokenize_for_caption_training(archive, tokenizer,
                                            attribute_length=args.attribute_length)

@@ -59,9 +59,11 @@ def main():
     from construction_clip_tpu.train.checkpoint import save_state, restore_state, latest_step
     from construction_clip_tpu.train.metrics import MetricLogger, StepTimer
 
+    from construction_clip_tpu.infer.precompute import load_archive
+
     tokenizer = load_hf_tokenizer(args.tokenizer)
     tcfg = T5Config() if args.t5_size == "small" else T5Config.tiny()
-    archive = dict(np.load(args.data, allow_pickle=True))
+    archive = load_archive(args.data)  # our .npz or the reference's .pkl
 
     # captions tokenized to max_length (reference ClipCocoDataset, train_t5.py:75)
     ids = np.zeros((len(archive["captions"]), args.max_length), np.int32)

@@ -19,6 +19,7 @@ Two samplers, matching the reference's two fine-tune scripts:
 from __future__ import annotations
 
 import itertools
+import os
 from typing import Sequence
 
 from construction_clip_tpu.data.schema import Annotation, load_annotations
@@ -77,6 +78,48 @@ class CaptionPairDataset:
     def __getitem__(self, item: int):
         a = self.anns[item]
         return a.file_name, getattr(a, self.key)
+
+
+class FlickrDataset:
+    """Flickr8k-style CSV (image,caption) dataset — reference
+    attention_model/dataset.py:88-125 (pandas captions.txt); index logic only."""
+
+    def __init__(self, csv_path: str, *, image_dir: str = ""):
+        import csv as _csv
+
+        self.items: list[tuple[str, str]] = []
+        with open(csv_path, encoding="utf-8") as f:
+            reader = _csv.reader(f)
+            header = next(reader)
+            for row in reader:
+                if len(row) >= 2:
+                    self.items.append((os.path.join(image_dir, row[0]), row[1]))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+class CocoCaptionDataset:
+    """COCO captions JSON ({"images": [...], "annotations": [{image_id, caption}]})
+    — reference attention_model/dataset.py:50-85 (pycocotools); stdlib json here."""
+
+    def __init__(self, json_path: str, *, image_dir: str = ""):
+        import json as _json
+
+        with open(json_path, encoding="utf-8") as f:
+            data = _json.load(f)
+        id_to_file = {im["id"]: im["file_name"] for im in data.get("images", [])}
+        self.items = [(os.path.join(image_dir, id_to_file[a["image_id"]]), a["caption"])
+                      for a in data["annotations"] if a.get("image_id") in id_to_file]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
 
 
 class PrecomputedCaptionDataset:

@@ -114,6 +114,34 @@ def precompute_corpus(params, cfg: CLIPConfig, annotations, tokenizer, *,
     return out
 
 
+def load_reference_pickle(path: str) -> dict:
+    """Drop-in compat: read the reference's parse_coco pickle
+    ({"clip_embedding": Tensor[N,512], "captions": [annotation + {clip_embedding:
+    idx, attribute: str}]}, reference parse_coco.py:55-65) into the archive dict
+    precompute_corpus produces, so existing .pkl artifacts train directly."""
+    import pickle
+
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    emb = data.get("clip_embedding", data.get("clip_embeddings"))
+    if hasattr(emb, "detach"):
+        emb = emb.detach().cpu().numpy()
+    captions, attrs = [], []
+    for ann in data["captions"]:
+        captions.append(ann.get("caption") or ann.get("violation_list") or "")
+        attrs.append(ann.get("attribute", ""))
+    return {"embeddings": np.asarray(emb, dtype=np.float32),
+            "attributes": np.asarray(attrs, dtype=object),
+            "captions": np.asarray(captions, dtype=object)}
+
+
+def load_archive(path: str) -> dict:
+    """Load either our .npz or the reference's .pkl embedding archive."""
+    if path.endswith(".pkl"):
+        return load_reference_pickle(path)
+    return dict(np.load(path, allow_pickle=True))
+
+
 def tokenize_for_caption_training(archive, hf_tokenizer, *, attribute_length: int,
                                   max_seq_len: Optional[int] = None):
     """archive: dict from precompute_corpus. Tokenize captions (zero-padded, like the

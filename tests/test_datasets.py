@@ -114,3 +114,46 @@ def test_precomputed_dataset(rng):
                                    rng.integers(0, 9, (5, 2)))
     e, a, c = ds[2]
     assert e.shape == (4,) and a.shape == (2,) and c.shape == (3,)
+
+
+def test_flickr_and_coco_datasets(tmp_path, rng):
+    from construction_clip_tpu.data.datasets import FlickrDataset, CocoCaptionDataset
+    import json
+
+    csv = tmp_path / "captions.txt"
+    csv.write_text("image,caption\na.jpg,a man on a scaffold\nb.jpg,an open pit\n",
+                   encoding="utf-8")
+    ds = FlickrDataset(str(csv), image_dir="imgs")
+    assert len(ds) == 2
+    f, c = ds[0]
+    assert f == "imgs/a.jpg" and "scaffold" in c
+
+    coco = tmp_path / "coco.json"
+    coco.write_text(json.dumps({
+        "images": [{"id": 1, "file_name": "x.jpg"}, {"id": 2, "file_name": "y.jpg"}],
+        "annotations": [{"image_id": 1, "caption": "cap one"},
+                        {"image_id": 2, "caption": "cap two"},
+                        {"image_id": 9, "caption": "orphan"}],
+    }), encoding="utf-8")
+    ds = CocoCaptionDataset(str(coco))
+    assert len(ds) == 2
+    assert ds[1] == ("y.jpg", "cap two")
+
+
+def test_load_reference_pickle(tmp_path):
+    import pickle
+    import torch
+
+    from construction_clip_tpu.infer.precompute import load_archive
+
+    data = {"clip_embedding": torch.ones(3, 4),
+            "captions": [{"caption": "說明", "attribute": "缺失 墜落 "},
+                         {"caption": "", "violation_list": "清單", "attribute": "a "},
+                         {"caption": "c3", "attribute": "b "}]}
+    p = tmp_path / "emb.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(data, f)
+    arc = load_archive(str(p))
+    assert arc["embeddings"].shape == (3, 4)
+    assert list(arc["captions"]) == ["說明", "清單", "c3"]
+    assert list(arc["attributes"])[0] == "缺失 墜落 "
