@@ -25,6 +25,10 @@ def main():
     p.add_argument("--attribute_length", type=int, default=20)
     p.add_argument("--mapping_type", default="mlp")
     p.add_argument("--greedy", action="store_true", help="greedy decode instead of beam")
+    p.add_argument("--detector_checkpoint", default=None,
+                   help="torchvision fasterrcnn .pth (the reference's model_final.pth)")
+    p.add_argument("--enable_detector", action="store_true",
+                   help="run the JAX Faster R-CNN (random weights without a ckpt)")
     args = p.parse_args()
 
     enable_compilation_cache()
@@ -51,7 +55,12 @@ def main():
         ccfg=ccfg, gcfg=gcfg,
         clip_tokenizer=load_clip_tokenizer(args.clip_bpe),
         lm_tokenizer=load_hf_tokenizer(args.tokenizer))
-    serve(PredictService(pipe, use_beam=not args.greedy),
+    detector = None
+    if args.enable_detector or args.detector_checkpoint:
+        from construction_clip_tpu.serve.detector import JaxDetector, ThresholdWrapper
+
+        detector = ThresholdWrapper(JaxDetector(args.detector_checkpoint))
+    serve(PredictService(pipe, detector=detector, use_beam=not args.greedy),
           host=args.host, port=args.port)
 
 

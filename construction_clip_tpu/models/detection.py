@@ -1,0 +1,389 @@
+"""Faster R-CNN (ResNet50-FPN) object detector, functional JAX, static shapes.
+
+The reference serves torchvision `fasterrcnn_resnet50_fpn` with a custom 8-class head
+('model_final.pth', reference application.py:13-25,51-70) for the construction-object
+classes (labels.json). This is the TPU-native detector behind serve/detector.py:
+
+  backbone   ResNet-50 C2..C5 (models/resnet.py stages) -> FPN P2..P5 (+P6 pool)
+  rpn        shared 3x3 conv head, 3 anchors/location (one scale per level x 3
+             aspects, torchvision's scheme), static top-k pre-NMS, batched-iota NMS
+  roi        level assignment (FPN paper eq.1), ROIAlign 7x7 (sampling_ratio 2,
+             aligned=False like torchvision's default roi_align), 2xFC-1024 head,
+             class scores + per-class box regression, per-class NMS
+
+Everything is fixed-shape (top-k + masking instead of dynamic filtering) so the whole
+detector jits as one program. Converter consumes torchvision state_dict naming (both
+old `inner_blocks.{i}.weight` and new `.{i}.0.weight` layouts).
+
+Inference-only in round 1 (the reference's detector is also a frozen serving artifact).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from construction_clip_tpu.models.resnet import _conv, _bn, _bottleneck, STAGES, WIDTHS
+
+# torchvision defaults
+ANCHOR_SIZES = (32, 64, 128, 256, 512)  # one per level P2..P6
+ASPECT_RATIOS = (0.5, 1.0, 2.0)
+IMAGE_MEAN = (0.485, 0.456, 0.406)
+IMAGE_STD = (0.229, 0.224, 0.225)
+
+
+# ---------------------------------------------------------------- backbone/FPN
+
+def resnet_pyramid(params, images):
+    """images [B,H,W,3] -> (C2, C3, C4, C5) NHWC feature maps."""
+    x = jax.nn.relu(_bn(_conv(images, params["stem"]["conv"], stride=2),
+                        params["stem"]["bn"]))
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+                              "VALID")
+    feats = []
+    for s, blocks in enumerate(params["stages"]):
+        for b, bp in enumerate(blocks):
+            x = _bottleneck(x, bp, 2 if (s > 0 and b == 0) else 1)
+        feats.append(x)
+    return tuple(feats)  # C2..C5, strides 4, 8, 16, 32
+
+
+def fpn_forward(fpn_params, c_feats):
+    """C2..C5 -> P2..P6 (channels 256; P6 = stride-2 maxpool of P5)."""
+    laterals = [c @ fpn_params["inner"][i]["w"] + fpn_params["inner"][i]["b"]
+                for i, c in enumerate(c_feats)]
+    outs = [None] * 4
+    prev = laterals[-1]
+    outs[3] = prev
+    for i in (2, 1, 0):
+        up = jax.image.resize(prev, laterals[i].shape, method="nearest")
+        prev = laterals[i] + up
+        outs[i] = prev
+    ps = [_conv(outs[i], fpn_params["layer"][i]["w"]) + fpn_params["layer"][i]["b"]
+          for i in range(4)]
+    p6 = jax.lax.reduce_window(ps[3], -jnp.inf, jax.lax.max,
+                               (1, 1, 1, 1), (1, 2, 2, 1), "VALID")
+    return ps + [p6]  # P2..P6
+
+
+# --------------------------------------------------------------------- anchors
+
+def level_anchors(h: int, w: int, stride: int, size: float):
+    """[h*w*3, 4] xyxy anchors for one level (torchvision AnchorGenerator math:
+    per cell, 3 aspect ratios of one base size, centered on cell*stride)."""
+    anchors = []
+    for ar in ASPECT_RATIOS:
+        h_r = np.sqrt(ar)
+        aw = size / h_r
+        ah = size * h_r
+        anchors.append([-aw / 2, -ah / 2, aw / 2, ah / 2])
+    base = np.asarray(anchors, np.float32)  # [3, 4]
+    ys = (np.arange(h, dtype=np.float32)) * stride
+    xs = (np.arange(w, dtype=np.float32)) * stride
+    shift_x, shift_y = np.meshgrid(xs, ys)
+    shifts = np.stack([shift_x, shift_y, shift_x, shift_y], axis=-1).reshape(-1, 1, 4)
+    return jnp.asarray((shifts + base[None]).reshape(-1, 4))
+
+
+# --------------------------------------------------------------- box utilities
+
+def decode_boxes(deltas, anchors, *, clip_hw=None):
+    """torchvision BoxCoder.decode: deltas [N,4] (dx,dy,dw,dh) on anchors xyxy."""
+    ax = (anchors[:, 0] + anchors[:, 2]) * 0.5
+    ay = (anchors[:, 1] + anchors[:, 3]) * 0.5
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    dx, dy, dw, dh = deltas[:, 0], deltas[:, 1], deltas[:, 2], deltas[:, 3]
+    dw = jnp.clip(dw, None, np.log(1000.0 / 16))
+    dh = jnp.clip(dh, None, np.log(1000.0 / 16))
+    cx = dx * aw + ax
+    cy = dy * ah + ay
+    w = jnp.exp(dw) * aw
+    h = jnp.exp(dh) * ah
+    boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+    if clip_hw is not None:
+        H, W = clip_hw
+        boxes = jnp.stack([
+            jnp.clip(boxes[:, 0], 0, W), jnp.clip(boxes[:, 1], 0, H),
+            jnp.clip(boxes[:, 2], 0, W), jnp.clip(boxes[:, 3], 0, H)], axis=-1)
+    return boxes
+
+
+def box_iou(a, b):
+    """[N,4] x [M,4] -> [N,M] IoU."""
+    area_a = jnp.clip(a[:, 2] - a[:, 0], 0) * jnp.clip(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.clip(b[:, 2] - b[:, 0], 0) * jnp.clip(b[:, 3] - b[:, 1], 0)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / jnp.maximum(area_a[:, None] + area_b[None] - inter, 1e-6)
+
+
+def nms_mask(boxes, scores, *, iou_threshold: float, max_out: int):
+    """Static-shape NMS: returns (indices [max_out], keep_mask [max_out]).
+    Greedy suppression via fori_loop over the top-max_out candidates."""
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    boxes_s = boxes[order]
+    scores_s = scores[order]
+    k = min(max_out, n)
+    iou = box_iou(boxes_s[:k], boxes_s[:k])
+
+    def body(i, alive):
+        # if candidate i is alive, kill all j>i with IoU > threshold
+        kill = (iou[i] > iou_threshold) & (jnp.arange(k) > i) & alive[i]
+        return alive & ~kill
+
+    alive = jnp.ones((k,), bool) & (scores_s[:k] > -jnp.inf)
+    alive = jax.lax.fori_loop(0, k, body, alive)
+    return order[:k], alive
+
+
+# ------------------------------------------------------------------- ROIAlign
+
+def roi_align(feat, boxes, *, out_size: int = 7, spatial_scale: float,
+              sampling_ratio: int = 2):
+    """feat [H,W,C]; boxes [N,4] xyxy in image coords -> [N, out, out, C].
+    Bilinear sampling on a sampling_ratio x sampling_ratio grid per output bin,
+    averaged — torchvision roi_align (aligned=False)."""
+    H, W, C = feat.shape
+    boxes = boxes * spatial_scale
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    bw = jnp.maximum(x2 - x1, 1.0)
+    bh = jnp.maximum(y2 - y1, 1.0)
+    bin_w = bw / out_size
+    bin_h = bh / out_size
+
+    s = sampling_ratio
+    # sample offsets within each bin: (i + (j + .5)/s) for j in range(s)
+    grid = (jnp.arange(s) + 0.5) / s
+
+    def sample_box(bx1, by1, bbin_w, bbin_h):
+        ys = by1 + (jnp.arange(out_size)[:, None] + grid[None, :]) * bbin_h  # [7,s]
+        xs = bx1 + (jnp.arange(out_size)[:, None] + grid[None, :]) * bbin_w
+        ys = ys.reshape(-1)  # [7*s]
+        xs = xs.reshape(-1)
+
+        y0 = jnp.clip(jnp.floor(ys - 0.5), 0, H - 1)
+        x0 = jnp.clip(jnp.floor(xs - 0.5), 0, W - 1)
+        ly = jnp.clip(ys - 0.5 - y0, 0, 1)
+        lx = jnp.clip(xs - 0.5 - x0, 0, 1)
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        y1i = jnp.minimum(y0i + 1, H - 1)
+        x1i = jnp.minimum(x0i + 1, W - 1)
+
+        # gather 4 corners: [7s, 7s, C] via outer indexing
+        f00 = feat[y0i[:, None], x0i[None, :]]
+        f01 = feat[y0i[:, None], x1i[None, :]]
+        f10 = feat[y1i[:, None], x0i[None, :]]
+        f11 = feat[y1i[:, None], x1i[None, :]]
+        wy = ly[:, None, None]
+        wx = lx[None, :, None]
+        val = (f00 * (1 - wy) * (1 - wx) + f01 * (1 - wy) * wx +
+               f10 * wy * (1 - wx) + f11 * wy * wx)  # [7s, 7s, C]
+        val = val.reshape(out_size, s, out_size, s, C)
+        return val.mean(axis=(1, 3))  # [7, 7, C]
+
+    return jax.vmap(sample_box)(x1, y1, bin_w, bin_h)
+
+
+# ------------------------------------------------------------------- detector
+
+class Detections(NamedTuple):
+    boxes: jax.Array   # [K, 4]
+    labels: jax.Array  # [K] int32 (0 = background/empty slot)
+    scores: jax.Array  # [K]
+
+
+def init_fasterrcnn(key, *, num_classes: int = 8, fpn_channels: int = 256,
+                    dtype=jnp.float32):
+    from construction_clip_tpu.models.resnet import init_resnet50
+
+    ks = iter(jax.random.split(key, 32))
+
+    def lin(i, o, std=0.01):
+        return {"w": (jax.random.normal(next(ks), (i, o)) * std).astype(dtype),
+                "b": jnp.zeros((o,), dtype)}
+
+    def conv3(i, o):
+        return {"w": (jax.random.normal(next(ks), (3, 3, i, o)) * 0.01).astype(dtype),
+                "b": jnp.zeros((o,), dtype)}
+
+    a = len(ASPECT_RATIOS)
+    return {
+        "backbone": init_resnet50(next(ks), dtype),
+        "fpn": {
+            "inner": [lin(w * 4, fpn_channels) for w in WIDTHS],
+            "layer": [conv3(fpn_channels, fpn_channels) for _ in WIDTHS],
+        },
+        "rpn": {
+            "conv": conv3(fpn_channels, fpn_channels),
+            "cls": lin(fpn_channels, a),
+            "bbox": lin(fpn_channels, a * 4),
+        },
+        "box_head": {
+            "fc6": lin(fpn_channels * 7 * 7, 1024),
+            "fc7": lin(1024, 1024),
+            "cls_score": lin(1024, num_classes),
+            "bbox_pred": lin(1024, num_classes * 4),
+        },
+    }
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "image_size", "pre_nms_topk", "post_nms_topk", "detections_per_img",
+    "num_classes"))
+def fasterrcnn_infer(params, image, *, image_size: int = 800,
+                     pre_nms_topk: int = 1000, post_nms_topk: int = 300,
+                     detections_per_img: int = 100, num_classes: int = 8,
+                     rpn_nms_thresh: float = 0.7, box_nms_thresh: float = 0.5,
+                     score_thresh: float = 0.05) -> Detections:
+    """image [S,S,3] float in [0,1] (square-staged). Returns fixed-size Detections;
+    empty slots have score 0 / label 0."""
+    x = (image - jnp.asarray(IMAGE_MEAN)) / jnp.asarray(IMAGE_STD)
+    c_feats = resnet_pyramid(params["backbone"], x[None])
+    p_feats = fpn_forward(params["fpn"], c_feats)  # P2..P6, batch 1
+
+    # ---- RPN over all levels
+    all_scores, all_boxes = [], []
+    for lvl, feat in enumerate(p_feats):
+        stride = 4 * (2 ** lvl)
+        h, w = feat.shape[1], feat.shape[2]
+        t = jax.nn.relu(_conv(feat, params["rpn"]["conv"]["w"]) +
+                        params["rpn"]["conv"]["b"])
+        logits = (t @ params["rpn"]["cls"]["w"] + params["rpn"]["cls"]["b"])[0]
+        deltas = (t @ params["rpn"]["bbox"]["w"] + params["rpn"]["bbox"]["b"])[0]
+        a = len(ASPECT_RATIOS)
+        logits = logits.reshape(-1)                      # [h*w*a]
+        deltas = deltas.reshape(-1, 4)
+        anchors = level_anchors(h, w, stride, ANCHOR_SIZES[lvl])
+        # per-level top-k before decode (torchvision does per-level topk)
+        k = min(pre_nms_topk, logits.shape[0])
+        top_s, top_i = jax.lax.top_k(logits, k)
+        boxes = decode_boxes(deltas[top_i], anchors[top_i],
+                             clip_hw=(image_size, image_size))
+        all_scores.append(top_s)
+        all_boxes.append(boxes)
+    scores = jnp.concatenate(all_scores)
+    boxes = jnp.concatenate(all_boxes)
+    # drop degenerate boxes
+    valid = ((boxes[:, 2] - boxes[:, 0]) > 1e-3) & ((boxes[:, 3] - boxes[:, 1]) > 1e-3)
+    scores = jnp.where(valid, scores, -jnp.inf)
+    idx, keep = nms_mask(boxes, scores, iou_threshold=rpn_nms_thresh,
+                         max_out=post_nms_topk)
+    proposals = boxes[idx] * keep[:, None]               # [post_nms_topk, 4]
+
+    # ---- ROI heads: FPN level assignment (eq.1: k = 4 + log2(sqrt(area)/224))
+    pw = jnp.clip(proposals[:, 2] - proposals[:, 0], 1e-6)
+    ph = jnp.clip(proposals[:, 3] - proposals[:, 1], 1e-6)
+    lvl_assign = jnp.clip(jnp.floor(4 + jnp.log2(jnp.sqrt(pw * ph) / 224 + 1e-8)),
+                          2, 5).astype(jnp.int32) - 2     # 0..3 over P2..P5
+    pooled = jnp.zeros((proposals.shape[0], 7, 7, p_feats[0].shape[-1]))
+    for lvl in range(4):
+        stride = 4 * (2 ** lvl)
+        feats_l = roi_align(p_feats[lvl][0], proposals, spatial_scale=1.0 / stride)
+        pooled = jnp.where((lvl_assign == lvl)[:, None, None, None], feats_l, pooled)
+
+    # torchvision flattens NCHW (C,7,7) into fc6 — transpose to match its weights
+    flat = pooled.transpose(0, 3, 1, 2).reshape(pooled.shape[0], -1)
+    h6 = jax.nn.relu(flat @ params["box_head"]["fc6"]["w"] + params["box_head"]["fc6"]["b"])
+    h7 = jax.nn.relu(h6 @ params["box_head"]["fc7"]["w"] + params["box_head"]["fc7"]["b"])
+    cls_logits = h7 @ params["box_head"]["cls_score"]["w"] + params["box_head"]["cls_score"]["b"]
+    box_deltas = h7 @ params["box_head"]["bbox_pred"]["w"] + params["box_head"]["bbox_pred"]["b"]
+    probs = jax.nn.softmax(cls_logits, axis=-1)           # [P, num_classes]
+
+    # per-class decode + NMS (class 0 = background)
+    final_boxes, final_scores, final_labels = [], [], []
+    keep_f = keep.astype(probs.dtype)
+    for c in range(1, num_classes):
+        deltas_c = box_deltas[:, c * 4: (c + 1) * 4]
+        boxes_c = decode_boxes(deltas_c, proposals, clip_hw=(image_size, image_size))
+        scores_c = probs[:, c] * keep_f
+        scores_c = jnp.where(scores_c > score_thresh, scores_c, 0.0)
+        idx_c, keep_c = nms_mask(boxes_c, jnp.where(scores_c > 0, scores_c, -jnp.inf),
+                                 iou_threshold=box_nms_thresh,
+                                 max_out=detections_per_img)
+        final_boxes.append(boxes_c[idx_c])
+        final_scores.append(scores_c[idx_c] * keep_c)
+        final_labels.append(jnp.full((detections_per_img,), c, jnp.int32))
+    fb = jnp.concatenate(final_boxes)
+    fs = jnp.concatenate(final_scores)
+    fl = jnp.concatenate(final_labels)
+    top_s, top_i = jax.lax.top_k(fs, detections_per_img)
+    return Detections(boxes=fb[top_i], labels=jnp.where(top_s > 0, fl[top_i], 0),
+                      scores=top_s)
+
+
+# ------------------------------------------------------------------ converter
+
+def from_torchvision_state_dict(sd, *, num_classes: int = 8):
+    """torchvision fasterrcnn_resnet50_fpn state dict -> our params."""
+    from construction_clip_tpu.models.resnet import (
+        from_torchvision_state_dict as resnet_convert)
+
+    def a(k):
+        x = sd[k]
+        if hasattr(x, "detach"):
+            x = x.detach().cpu().numpy()
+        return np.asarray(x)
+
+    def pick(*names):
+        for n in names:
+            if n in sd:
+                return n
+        raise KeyError(names)
+
+    def lin_from_conv1x1(k_w, k_b):
+        w = a(k_w)  # [O, I, 1, 1]
+        return {"w": jnp.asarray(w[:, :, 0, 0].T), "b": jnp.asarray(a(k_b))}
+
+    def conv3(k_w, k_b):
+        return {"w": jnp.asarray(a(k_w).transpose(2, 3, 1, 0)),
+                "b": jnp.asarray(a(k_b))}
+
+    def lin(k_w, k_b):
+        return {"w": jnp.asarray(a(k_w).T), "b": jnp.asarray(a(k_b))}
+
+    backbone_sd = {k[len("backbone.body."):]: v for k, v in sd.items()
+                   if k.startswith("backbone.body.")}
+    inner, layer = [], []
+    for i in range(4):
+        iw = pick(f"backbone.fpn.inner_blocks.{i}.0.weight",
+                  f"backbone.fpn.inner_blocks.{i}.weight")
+        ib = pick(f"backbone.fpn.inner_blocks.{i}.0.bias",
+                  f"backbone.fpn.inner_blocks.{i}.bias")
+        lw = pick(f"backbone.fpn.layer_blocks.{i}.0.weight",
+                  f"backbone.fpn.layer_blocks.{i}.weight")
+        lb = pick(f"backbone.fpn.layer_blocks.{i}.0.bias",
+                  f"backbone.fpn.layer_blocks.{i}.bias")
+        inner.append(lin_from_conv1x1(iw, ib))
+        layer.append(conv3(lw, lb))
+
+    rpn_conv_w = pick("rpn.head.conv.0.0.weight", "rpn.head.conv.weight")
+    rpn_conv_b = pick("rpn.head.conv.0.0.bias", "rpn.head.conv.bias")
+    return {
+        "backbone": resnet_convert(backbone_sd),
+        "fpn": {"inner": inner, "layer": layer},
+        "rpn": {
+            "conv": conv3(rpn_conv_w, rpn_conv_b),
+            "cls": lin_from_conv1x1("rpn.head.cls_logits.weight",
+                                    "rpn.head.cls_logits.bias"),
+            "bbox": lin_from_conv1x1("rpn.head.bbox_pred.weight",
+                                     "rpn.head.bbox_pred.bias"),
+        },
+        "box_head": {
+            "fc6": lin("roi_heads.box_head.fc6.weight", "roi_heads.box_head.fc6.bias"),
+            "fc7": lin("roi_heads.box_head.fc7.weight", "roi_heads.box_head.fc7.bias"),
+            "cls_score": lin("roi_heads.box_predictor.cls_score.weight",
+                             "roi_heads.box_predictor.cls_score.bias"),
+            "bbox_pred": lin("roi_heads.box_predictor.bbox_pred.weight",
+                             "roi_heads.box_predictor.bbox_pred.bias"),
+        },
+    }

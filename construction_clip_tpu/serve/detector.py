@@ -32,6 +32,57 @@ class NullDetector:
         return {"boxes": [], "labels": [], "scores": []}
 
 
+class JaxDetector:
+    """The TPU-native Faster R-CNN (models/detection.py) behind the serving
+    interface. checkpoint: torchvision-layout .pth state dict (the reference's
+    model_final.pth) or None (random weights — smoke/serving-shape testing)."""
+
+    def __init__(self, checkpoint: str | None = None, *, num_classes: int = 8,
+                 image_size: int = 512, class_names=DETECTOR_CLASSES):
+        import jax
+
+        from construction_clip_tpu.models import detection as det
+
+        if checkpoint:
+            from construction_clip_tpu.models.clip.convert import load_torch_checkpoint
+
+            self.params = det.from_torchvision_state_dict(
+                load_torch_checkpoint(checkpoint), num_classes=num_classes)
+        else:
+            self.params = det.init_fasterrcnn(jax.random.key(0),
+                                              num_classes=num_classes)
+        self.image_size = image_size
+        self.num_classes = num_classes
+        self.class_names = class_names
+        self._infer = det.fasterrcnn_infer
+
+    def detect(self, image_u8: np.ndarray) -> dict:
+        import jax.numpy as jnp
+
+        from construction_clip_tpu.data.pipeline import host_shape_unify
+
+        h, w = image_u8.shape[:2]
+        staged = host_shape_unify(image_u8, self.image_size)
+        det_out = self._infer(self.params,
+                              jnp.asarray(staged, jnp.float32) / 255.0,
+                              image_size=self.image_size,
+                              num_classes=self.num_classes)
+        # map boxes back to original resolution (short-side scale + center crop)
+        scale = min(h, w) / self.image_size
+        off_x = (max(w, h) - min(w, h)) / 2 if w > h else 0.0
+        off_y = (max(w, h) - min(w, h)) / 2 if h > w else 0.0
+        boxes, labels, scores = [], [], []
+        for b, l, s in zip(np.asarray(det_out.boxes), np.asarray(det_out.labels),
+                           np.asarray(det_out.scores)):
+            if s <= 0:
+                continue
+            boxes.append([float(b[0] * scale + off_x), float(b[1] * scale + off_y),
+                          float(b[2] * scale + off_x), float(b[3] * scale + off_y)])
+            labels.append(int(l))
+            scores.append(float(s))
+        return {"boxes": boxes, "labels": labels, "scores": scores}
+
+
 class ThresholdWrapper:
     """Apply the reference's 0.8 score threshold + label-name mapping
     (application.py:60-70) around any raw detector."""
