@@ -39,6 +39,8 @@ def main():
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--resume", default=None, help="orbax checkpoint dir to resume from")
     p.add_argument("--log_dir", default="log")
+    p.add_argument("--watchdog_timeout", type=float, default=600.0,
+                   help="seconds without step progress before a stall is logged")
     args = p.parse_args()
 
     enable_compilation_cache()
@@ -90,34 +92,41 @@ def main():
         state = restore_state(args.resume, state)
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
+    from construction_clip_tpu.train.resilience import StepWatchdog, run_resilient
+
     logger = MetricLogger(args.log_dir, f"{args.output_prefix}_comb{args.combination_num}")
     timer = StepTimer()
     size = cfg.vision.image_size
     os.makedirs(args.output_dir, exist_ok=True)
+    ckpt_dir = os.path.join(args.output_dir,
+                            f"{args.output_prefix}_comb{args.combination_num}")
 
-    for epoch in range(args.epochs):
-        for batch in train_loader:
-            batch = {"images": preprocess_batch(batch["images"], size),
-                     "tokens": batch["tokens"]}
-            state, m = step_fn(state, batch)
-            timer.tick()
-            s = int(state.step)
-            if s % 10 == 0:
-                logger.log(s, loss=float(m["loss"]), accuracy=float(m["accuracy"]),
-                           step_time=timer.mean)
-                print(f"epoch {epoch} step {s} loss {float(m['loss']):.4f} "
-                      f"acc {float(m['accuracy']):.3f} {timer.mean*1e3:.0f} ms/step")
-        if (epoch + 1) % args.save_every == 0:
-            accs = [float(eval_fn(state.params,
-                                  {"images": preprocess_batch(b["images"], size),
-                                   "tokens": b["tokens"]}))
-                    for b in test_loader]
-            logger.log(int(state.step),
-                       test_accuracy=float(np.mean(accs)) if accs else 0.0)
-            ckpt_dir = os.path.join(args.output_dir,
-                                    f"{args.output_prefix}_comb{args.combination_num}")
-            save_state(ckpt_dir, state)
-            print(f"saved {ckpt_dir} @ step {int(state.step)}")
+    with StepWatchdog(timeout=args.watchdog_timeout) as watchdog:
+        def train_epoch(state, epoch):
+            for batch in train_loader:
+                batch = {"images": preprocess_batch(batch["images"], size),
+                         "tokens": batch["tokens"]}
+                state, m = step_fn(state, batch)
+                timer.tick()
+                watchdog.tick()
+                s = int(state.step)
+                if s % 10 == 0:
+                    logger.log(s, loss=float(m["loss"]), accuracy=float(m["accuracy"]),
+                               step_time=timer.mean)
+                    print(f"epoch {epoch} step {s} loss {float(m['loss']):.4f} "
+                          f"acc {float(m['accuracy']):.3f} {timer.mean*1e3:.0f} ms/step")
+            if (epoch + 1) % args.save_every == 0:
+                accs = [float(eval_fn(state.params,
+                                      {"images": preprocess_batch(b["images"], size),
+                                       "tokens": b["tokens"]}))
+                        for b in test_loader]
+                logger.log(int(state.step),
+                           test_accuracy=float(np.mean(accs)) if accs else 0.0)
+            return state
+
+        run_resilient(train_epoch, state, epochs=args.epochs,
+                      checkpoint_dir=ckpt_dir,
+                      save_every_epochs=args.save_every)
     logger.close()
 
 

@@ -109,3 +109,38 @@ def test_frozen_lm_training(stack, rng):
     # frozen gpt identical
     for a, b in zip(jax.tree.leaves(params["gpt"]), jax.tree.leaves(gpt)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_full_finetune_updates_gpt(stack, rng):
+    """only_prefix=False: the whole {mapper, gpt} tree trains."""
+    _, params = stack
+    import dataclasses
+    import optax
+
+    from construction_clip_tpu.core.mesh import create_mesh, DATA_AXIS, MODEL_AXIS, \
+        shard_batch, replicate
+    from construction_clip_tpu.train.caption import make_caption_train_step
+    from construction_clip_tpu.train.state import TrainState
+
+    full_cfg = dataclasses.replace(CCFG, only_prefix=False)
+    mesh = create_mesh({DATA_AXIS: 8, MODEL_AXIS: 1})
+    tx = optax.adam(1e-3)
+    step = make_caption_train_step(full_cfg, GCFG, tx, mesh)
+
+    B = 8
+    batch = shard_batch(mesh, {
+        "tokens": jnp.asarray(rng.integers(1, GCFG.vocab_size, (B, 8)).astype(np.int32)),
+        "prefix": jnp.asarray(rng.standard_normal((B, CCFG.clip_dim)).astype(np.float32)),
+        "attribute": jnp.asarray(rng.integers(1, GCFG.vocab_size, (B, 3)).astype(np.int32)),
+    })
+    gpt0 = jax.tree.map(jnp.copy, params["gpt"])
+    state = TrainState.create(replicate(mesh, jax.tree.map(jnp.copy, params)), tx)
+    losses = []
+    for _ in range(3):
+        state, m = step(state, None, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    changed = any(not np.allclose(np.asarray(a), np.asarray(b))
+                  for a, b in zip(jax.tree.leaves(gpt0),
+                                  jax.tree.leaves(state.params["gpt"])))
+    assert changed, "GPT params did not update in full-finetune mode"
