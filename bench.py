@@ -28,6 +28,17 @@ def log(*a):
 
 def main():
     import os
+    import threading
+
+    # Hang guard: first-ever compiles through the TPU tunnel can take ~35 min and
+    # the tunnel occasionally wedges; exit non-zero rather than hang the driver.
+    def _abort():
+        log("bench watchdog: no completion after 50 min — aborting")
+        os._exit(3)
+
+    guard = threading.Timer(50 * 60, _abort)
+    guard.daemon = True
+    guard.start()
 
     import jax
 

@@ -67,11 +67,53 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool):
 @functools.partial(jax.jit, static_argnames=("is_causal", "scale"))
 def flash_attention(q, k, v, *, bias=None, is_causal: bool = False,
                     scale: float | None = None):
-    """Fused attention; same contract as ops.attention.mha (bias must be None)."""
+    """Fused attention; same contract as ops.attention.mha (bias must be None).
+    Differentiable: Pallas forward + analytic jnp backward (custom_vjp below)."""
     assert bias is None
-    b, h, t, d = q.shape
     if scale is None:
-        scale = d ** -0.5
+        scale = q.shape[-1] ** -0.5
+    return _fa(q, k, v, bool(is_causal), float(scale))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fa(q, k, v, is_causal: bool, scale: float):
+    return _forward(q, k, v, is_causal, scale)
+
+
+def _fa_fwd(q, k, v, is_causal, scale):
+    return _fa(q, k, v, is_causal, scale), (q, k, v)
+
+
+def _fa_bwd(is_causal, scale, res, g):
+    """Standard attention backward (fp32): recompute P, then
+    dV = P^T g;  dS = P * (gV^T - rowsum(gV^T * P));  dQ = scale*dS K;  dK = scale*dS^T Q."""
+    q, k, v = res
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) * scale
+    if is_causal:
+        t = q.shape[2]
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        logits = jnp.where((q_pos >= k_pos)[None, None], logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32, preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v32, preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = scale * jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+    dk = scale * jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_fa.defvjp(_fa_fwd, _fa_bwd)
+
+
+def _forward(q, k, v, is_causal: bool, scale: float):
+    b, h, t, d = q.shape
     bh = b * h
     # group heads so each program's sublane dim (G*T rows across panels) is busy;
     # target ~8 panels per program without blowing VMEM for long T.

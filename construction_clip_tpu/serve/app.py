@@ -21,6 +21,7 @@ import io
 import json
 import re
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -31,23 +32,42 @@ IMAGE_EXTENSIONS = {"ras", "xwd", "bmp", "jpe", "jpg", "jpeg", "xpm", "ief", "pb
 
 
 class PredictService:
-    def __init__(self, caption_pipeline, detector=None, *, use_beam: bool = True):
+    """Owns the jitted pipelines. With batch_window_ms > 0, concurrent requests
+    are COALESCED into one device batch (the TPU serves N images for ~the cost of
+    one at these model sizes) — the serving-throughput lever the reference's
+    single-threaded Flask app (application.py:281-282) has no analog for."""
+
+    def __init__(self, caption_pipeline, detector=None, *, use_beam: bool = True,
+                 batch_window_ms: float = 0.0, max_batch: int = 16):
         from construction_clip_tpu.serve.detector import NullDetector
 
         self.pipe = caption_pipeline
         self.detector = detector or NullDetector()
         self.use_beam = use_beam
         self._lock = threading.Lock()
+        self._window = batch_window_ms / 1e3
+        self._max_batch = max_batch
+        self._pending: list = []  # [(staged_u8, Event, result_slot)]
+        self._pending_lock = threading.Lock()
+
+    def _caption_batch(self, staged_list):
+        from construction_clip_tpu.data.preprocess import preprocess_batch
+
+        size = self.pipe.clip_cfg.vision.image_size
+        imgs = preprocess_batch(np.stack(staged_list), size)
+        return self.pipe.caption_images(imgs, use_beam=self.use_beam)
 
     def predict(self, image_u8: np.ndarray) -> dict:
         from construction_clip_tpu.data.pipeline import host_shape_unify
-        from construction_clip_tpu.data.preprocess import preprocess_batch
 
         detection = self.detector.detect(image_u8)
-        with self._lock:  # device work serialized
-            size = self.pipe.clip_cfg.vision.image_size
-            imgs = preprocess_batch(host_shape_unify(image_u8, 256)[None], size)
-            pred = self.pipe.caption_images(imgs, use_beam=self.use_beam)[0]
+        staged = host_shape_unify(image_u8, 256)
+
+        if self._window <= 0:
+            with self._lock:
+                pred = self._caption_batch([staged])[0]
+        else:
+            pred = self._predict_batched(staged)
         return {
             "boxes": detection["boxes"],
             "labels": detection["labels"],
@@ -56,6 +76,30 @@ class PredictService:
             "violation_type": pred["violation_type"],
             "caption": pred["caption"],
         }
+
+    def _predict_batched(self, staged):
+        done = threading.Event()
+        slot: list = [None]
+        with self._pending_lock:
+            self._pending.append((staged, done, slot))
+        # every waiter competes for the device lock; whoever holds it drains a
+        # FIFO batch — loop until OUR request was served (it may take several
+        # drains when more than max_batch requests are queued ahead).
+        while not done.is_set():
+            with self._lock:
+                if done.is_set():
+                    break
+                time.sleep(self._window)  # let concurrent requests pile up
+                with self._pending_lock:
+                    batch = self._pending[: self._max_batch]
+                    self._pending = self._pending[self._max_batch:]
+                if not batch:
+                    continue
+                preds = self._caption_batch([b[0] for b in batch])
+                for (_, ev, sl), p in zip(batch, preds):
+                    sl[0] = p
+                    ev.set()
+        return slot[0]
 
 
 def _parse_multipart(body: bytes, content_type: str) -> Optional[tuple[str, bytes]]:

@@ -70,3 +70,25 @@ def test_mha_dispatches_to_pallas(rng):
     ref = mha(q, q, q, impl="xla")
     out = mha(q, q, q, impl="pallas")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_xla(rng):
+    """custom_vjp backward must match autodiff through the XLA path."""
+    shape = (2, 2, 24, 32)
+    q = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+    for causal in (False, True):
+        def loss_pallas(q, k, v):
+            return jnp.sum(pallas_attention.flash_attention(
+                q, k, v, is_causal=causal) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(mha(q, k, v, is_causal=causal, impl="xla") ** 2)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)

@@ -115,3 +115,49 @@ def test_predict_requires_file_field(server):
     status, out = _post(server + "/predict", b"{}", "application/json")
     assert status == 400
     assert "file" in out["error"]
+
+
+def test_request_batching(rng):
+    """batch_window_ms coalesces concurrent requests into one device batch and every
+    caller gets its own result."""
+    import concurrent.futures as cf
+
+    import jax as _jax
+
+    from construction_clip_tpu.core.configs import (
+        CLIPConfig, VisionConfig, TextConfig, ClipCapConfig, GPT2Config)
+    from construction_clip_tpu.models.clip import init_clip
+    from construction_clip_tpu.models.clipcap import init_clipcap
+    from construction_clip_tpu.infer.caption import CaptionPipeline
+    from construction_clip_tpu.serve.app import PredictService
+    import gzip, tempfile, os
+
+    clip_cfg = CLIPConfig(
+        vision=VisionConfig(image_size=32, patch_size=8, width=32, layers=1, heads=2,
+                            embed_dim=16),
+        text=TextConfig(vocab_size=600, context_length=12, width=32, layers=1,
+                        heads=2, embed_dim=16))
+    gcfg = GPT2Config(vocab_size=128, n_positions=64, n_embd=32, n_layer=1, n_head=2)
+    ccfg = ClipCapConfig(prefix_length=2, attribute_length=3, clip_dim=16)
+    with tempfile.NamedTemporaryFile(suffix=".txt.gz", delete=False) as f:
+        pass
+    with gzip.open(f.name, "wt", encoding="utf-8") as g:
+        g.write("version\n")
+    from construction_clip_tpu.data.clip_tokenizer import ClipTokenizer
+
+    pipe = CaptionPipeline(
+        clip_params=init_clip(_jax.random.key(0), clip_cfg), clip_cfg=clip_cfg,
+        cap_params=init_clipcap(_jax.random.key(1), ccfg, gcfg), ccfg=ccfg,
+        gcfg=gcfg, clip_tokenizer=ClipTokenizer(f.name, n_merges=None),
+        lm_tokenizer=TinyLMTok(), stop_token=102, max_steps=4, beam_size=2)
+    svc = PredictService(pipe, use_beam=False, batch_window_ms=100, max_batch=8)
+
+    imgs = [(rng.random((48, 48, 3)) * 255).astype(np.uint8) for _ in range(6)]
+    svc.predict(imgs[0])  # warm / compile batch-1 path
+
+    with cf.ThreadPoolExecutor(6) as pool:
+        results = list(pool.map(svc.predict, imgs))
+    assert len(results) == 6
+    for r in results:
+        assert r["caption_type"] in ("violation", "status")
+    os.unlink(f.name)
