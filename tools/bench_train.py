@@ -54,13 +54,16 @@ def main():
             "tokens": toks,
         }
         try:
-            state, m = step(state, batch)
-            _ = float(m["loss"])  # sync incl. compile
-            iters = 10
+            # warm thoroughly: the first post-compile iterations through the TPU
+            # runtime are slow (pipeline warm-up) and would pollute the mean
+            for _ in range(5):
+                state, m = step(state, batch)
+            _ = float(m["loss"])
+            iters = 20
             t0 = time.perf_counter()
             for _ in range(iters):
                 state, m = step(state, batch)
-            _ = float(m["loss"])
+            _ = np.asarray(state.step)
             dt = (time.perf_counter() - t0) / iters
             key = f"step_ms_b{batch_size}" + ("_remat" if remat else "")
             results[key] = round(dt * 1e3, 1)
