@@ -13,9 +13,8 @@ clear guidance.
 
 from __future__ import annotations
 
-import os
 import unicodedata
-from typing import Iterable, List, Optional
+from typing import Iterable, List
 
 
 def filter_tokens(tokens: Iterable[str]) -> List[str]:

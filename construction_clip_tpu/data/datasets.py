@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import itertools
 import os
-from typing import Sequence
-
 from construction_clip_tpu.data.schema import Annotation, load_annotations
 
 

@@ -20,8 +20,7 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as cf
-import threading
-from typing import Callable, Iterator, Optional, Sequence
+from typing import Callable, Iterator, Sequence
 
 import numpy as np
 

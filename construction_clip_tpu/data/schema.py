@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Iterator, Optional
+from typing import Optional
 
 ANNOTATION_KEYS = ("id", "caption_type", "violation_type", "violation_list",
                    "caption", "file_name", "objects")

@@ -23,7 +23,7 @@ Semantics preserved from the reference:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

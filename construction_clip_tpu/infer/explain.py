@@ -16,7 +16,6 @@ jax.grad call per tower, no hooks, fully jittable.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import numpy as np
 import jax

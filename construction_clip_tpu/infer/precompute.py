@@ -15,8 +15,7 @@ portable .npz instead of a torch pickle.
 
 from __future__ import annotations
 
-import json
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import numpy as np
 import jax

@@ -10,7 +10,6 @@ classification over a BATCH of images is one matmul.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

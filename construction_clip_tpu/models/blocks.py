@@ -14,8 +14,7 @@ The reference's equivalents are torch nn.Modules inside the `clip` pip package
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

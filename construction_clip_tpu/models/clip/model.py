@@ -17,9 +17,6 @@ fp32 softmax/LN under Policy.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
@@ -27,9 +24,7 @@ from construction_clip_tpu.core.configs import CLIPConfig
 from construction_clip_tpu.core.precision import Policy, DEFAULT_POLICY
 from construction_clip_tpu.models.blocks import init_stack, apply_stack
 from construction_clip_tpu.ops.activations import quick_gelu
-from construction_clip_tpu.ops.attention import make_attention_bias
 from construction_clip_tpu.ops.norms import layer_norm
-import math
 
 
 def _ln_params(width, dtype):

@@ -20,8 +20,6 @@ see train/caption.py), not a parameter-surgery hack like the reference's overrid
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from construction_clip_tpu.models.resnet import _conv, _bn, _bottleneck, STAGES, WIDTHS
+from construction_clip_tpu.models.resnet import _conv, _bn, _bottleneck, WIDTHS
 
 # torchvision defaults
 ANCHOR_SIZES = (32, 64, 128, 256, 512)  # one per level P2..P6

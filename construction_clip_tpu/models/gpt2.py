@@ -19,7 +19,6 @@ input-major, so the converter copies them without transposition.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

@@ -16,7 +16,6 @@ explainability (reference attention.py:32-45 needs per-block attention probabili
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from construction_clip_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+from construction_clip_tpu.core.mesh import MODEL_AXIS
 
 
 def _block_specs() -> dict:

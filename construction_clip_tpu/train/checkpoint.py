@@ -11,7 +11,7 @@ full TrainState (params, opt_state, step) via orbax, so resume is
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 

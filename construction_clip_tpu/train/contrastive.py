@@ -10,8 +10,6 @@ replicated. Params live replicated (ViT-B fits easily per-chip); scaling is pure
 from __future__ import annotations
 
 import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -86,8 +84,6 @@ def make_gspmd_train_step(cfg: CLIPConfig, tx, mesh: Mesh, *,
 
     Returns (step, state_shardings): place state leaves with state_shardings
     (TrainState.create on TP-sharded params already yields them)."""
-    from construction_clip_tpu.parallel.sharding import clip_param_specs, tree_shardings
-
     def loss_fn(params, images, tokens):
         img_f = encode_image(params, cfg, images, policy=policy, normalize=True,
                              remat=remat)

@@ -8,7 +8,7 @@ warmup 5000 for ClipCap (reference CLIP_prefix_caption/train.py:336-340).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

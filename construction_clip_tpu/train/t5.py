@@ -16,7 +16,7 @@ from construction_clip_tpu.core.mesh import DATA_AXIS
 from construction_clip_tpu.core.precision import Policy, DEFAULT_POLICY
 from construction_clip_tpu.models.clipcap.t5_model import (
     clipcap_t5_forward, t5_caption_loss)
-from construction_clip_tpu.train.state import TrainState, apply_gradients
+from construction_clip_tpu.train.state import apply_gradients
 
 
 def make_t5_caption_train_step(ccfg: ClipCapConfig, tcfg: T5Config, tx, mesh: Mesh, *,
