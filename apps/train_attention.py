@@ -95,10 +95,15 @@ def main():
     if args.resume and latest_step(args.resume) is not None:
         state = restore_state(args.resume, state)
 
+    # params passed as jit args, not closed over (remote_compile rejects programs
+    # with large inline constants — see infer/precompute.make_embed_classify_fn)
     @jax.jit
-    def encode(images_u8):
+    def _encode(enc_params, images_u8):
         x = preprocess_batch(images_u8, 224, mean=IMAGENET_MEAN, std=IMAGENET_STD)
         return resnet50_features(enc_params, x)
+
+    def encode(images_u8):
+        return _encode(enc_params, images_u8)
 
     @jax.jit
     def train_step(state, feats, caps, rng):

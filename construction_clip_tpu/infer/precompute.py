@@ -31,21 +31,28 @@ from construction_clip_tpu.models.clip import encode_image, encode_text
 def make_embed_classify_fn(params, cfg: CLIPConfig, ct_tokens, vt_tokens, *,
                            policy: Policy = DEFAULT_POLICY):
     """One jitted function: images -> (embeddings [B,E], caption_type idx [B],
-    violation_type idx [B]). Label prompt features are folded in as constants."""
+    violation_type idx [B]).
+
+    Params and label features are passed as jit ARGUMENTS, never closed over:
+    closure-captured arrays become inline constants in the serialized program, and
+    the TPU runtime's remote_compile endpoint rejects oversized programs (HTTP 413
+    observed with 151M params baked in)."""
     ct_feats = encode_text(params, cfg, jnp.asarray(ct_tokens), policy=policy,
                            normalize=True)
     vt_feats = encode_text(params, cfg, jnp.asarray(vt_tokens), policy=policy,
                            normalize=True)
 
     @jax.jit
-    def fn(images):
+    def fn(params, ct_feats, vt_feats, images):
         emb = encode_image(params, cfg, images, policy=policy, normalize=False)
         normed = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
         ct = jnp.argmax(normed @ ct_feats.T, axis=-1)
         vt = jnp.argmax(normed @ vt_feats.T, axis=-1)
         return emb, ct, vt
 
-    return fn
+    import functools
+
+    return functools.partial(fn, params, ct_feats, vt_feats)
 
 
 def precompute_corpus(params, cfg: CLIPConfig, annotations, tokenizer, *,
