@@ -123,6 +123,14 @@ def main():
             ckpt = os.path.join(args.out_dir, args.prefix)
             save_state(ckpt, state)
             print(f"saved {ckpt} @ {int(state.step)}")
+    # inference artifact: full {mapper, gpt} params as npz (apps/predict.py input)
+    from construction_clip_tpu.train.checkpoint import save_params_npz
+
+    final = ({"mapper": state.params, "gpt": params["gpt"]} if args.only_prefix
+             else state.params)
+    npz_path = os.path.join(args.out_dir, f"{args.prefix}.npz")
+    save_params_npz(npz_path, final)
+    print(f"saved inference params {npz_path}")
     logger.close()
 
 

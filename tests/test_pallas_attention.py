@@ -92,3 +92,14 @@ def test_gradients_match_xla(rng):
         for a, b in zip(gp, gx):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_normalize_matches_reference(rng):
+    from construction_clip_tpu.ops import pallas_preprocess
+    from construction_clip_tpu.data.preprocess import CLIP_MEAN, CLIP_STD
+
+    imgs = (rng.random((2, 32, 16, 3)) * 255).astype(np.uint8)
+    out = pallas_preprocess.normalize_u8.__wrapped__(
+        jnp.asarray(imgs), mean=CLIP_MEAN, std=CLIP_STD)
+    ref = (imgs.astype(np.float32) / 255.0 - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
