@@ -89,6 +89,28 @@ def _preprocess_batch_jit(imgs_u8, th: int, tw: int, size: int, mean, std):
     return normalize(jnp.clip(x, 0.0, 1.0), mean, std)
 
 
+def preprocess_staged(images_u8, *, mean=CLIP_MEAN, std=CLIP_STD,
+                      out_dtype=None):
+    """[B, S, S, 3] uint8 ALREADY at model resolution (e.g. staged by the native
+    C++ loader at 224) -> normalized floats, one fused pass.
+
+    On TPU this is the Pallas normalize kernel (ops/pallas_preprocess.py): bytes in,
+    bf16 out, no fp32 intermediate — the shortest path from PCIe to the MXU. On
+    other backends it is the equivalent jnp expression.
+    """
+    import jax
+
+    if out_dtype is None:
+        out_dtype = jnp.float32
+    if jax.default_backend() == "tpu":
+        from construction_clip_tpu.ops.pallas_preprocess import normalize_u8
+
+        return normalize_u8(images_u8, mean=tuple(mean), std=tuple(std),
+                            out_dtype=out_dtype)
+    x = images_u8.astype(jnp.float32) / 255.0
+    return normalize(x, tuple(mean), tuple(std)).astype(out_dtype)
+
+
 def pil_reference_preprocess(pil_img, size: int = 224,
                              mean=CLIP_MEAN, std=CLIP_STD) -> np.ndarray:
     """Host-side PIL chain replicating the reference's preprocess exactly (golden

@@ -50,3 +50,15 @@ def test_normalization_stats(rng):
     # invert: out*std+mean must be in [0,1]
     inv = out * np.asarray(CLIP_STD) + np.asarray(CLIP_MEAN)
     assert inv.min() >= -1e-4 and inv.max() <= 1 + 1e-4
+
+
+def test_preprocess_staged_cpu_path(rng):
+    """CPU fallback of the staged fused path equals the separate ops."""
+    import jax.numpy as jnp
+
+    from construction_clip_tpu.data.preprocess import preprocess_staged
+
+    imgs = (rng.random((2, 16, 16, 3)) * 255).astype(np.uint8)
+    out = np.asarray(preprocess_staged(jnp.asarray(imgs)))
+    ref = (imgs.astype(np.float32) / 255.0 - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
