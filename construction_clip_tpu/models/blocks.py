@@ -73,12 +73,32 @@ def apply_block(
     if return_probs:
         attn_out, probs = attn_out
     x = x + attn_out
-    h = layer_norm(x, **params["ln_2"], eps=ln_eps)
-    h = act(h @ params["mlp"]["w_fc"] + params["mlp"]["b_fc"])
-    x = x + (h @ params["mlp"]["w_proj"] + params["mlp"]["b_proj"])
+    x = _mlp_residual(x, params, act, ln_eps)
     if return_probs:
         return x, probs
     return x
+
+
+USE_FUSED_MLP = False  # A/B on v5e (batch-256 ViT-B/32): XLA's own MLP fusion wins
+#                        (26.2 ms vs 27.9 ms with ops/pallas_mlp) — kernel stays
+#                        available as an opt-in for other shapes/hardware.
+
+
+def _mlp_residual(x, params, act, ln_eps):
+    """x + MLP(LN2(x)); opt-in fused Pallas kernel for the QuickGELU path
+    (ops/pallas_mlp.py: weights VMEM-resident, hidden never touches HBM)."""
+    from construction_clip_tpu.ops.activations import quick_gelu as _qg
+
+    if USE_FUSED_MLP and act is _qg:
+        from construction_clip_tpu.ops import pallas_mlp
+        from construction_clip_tpu.ops.attention import resolve_impl
+
+        if resolve_impl() == "pallas" and pallas_mlp.supported(x, params["mlp"]["w_fc"]):
+            return pallas_mlp.fused_mlp_residual(x, params["mlp"], params["ln_2"],
+                                                 eps=ln_eps)
+    h = layer_norm(x, **params["ln_2"], eps=ln_eps)
+    h = act(h @ params["mlp"]["w_fc"] + params["mlp"]["b_fc"])
+    return x + (h @ params["mlp"]["w_proj"] + params["mlp"]["b_proj"])
 
 
 def apply_stack(

@@ -103,3 +103,36 @@ def test_pallas_normalize_matches_reference(rng):
         jnp.asarray(imgs), mean=CLIP_MEAN, std=CLIP_STD)
     ref = (imgs.astype(np.float32) / 255.0 - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_mlp_matches_reference(rng):
+    from construction_clip_tpu.ops import pallas_mlp
+
+    d, hidden = 32, 128
+    x = jnp.asarray(rng.standard_normal((2, 12, d)).astype(np.float32))
+    params = {
+        "w_fc": jnp.asarray(rng.standard_normal((d, hidden)).astype(np.float32) * 0.1),
+        "b_fc": jnp.asarray(rng.standard_normal((hidden,)).astype(np.float32) * 0.1),
+        "w_proj": jnp.asarray(rng.standard_normal((hidden, d)).astype(np.float32) * 0.1),
+        "b_proj": jnp.asarray(rng.standard_normal((d,)).astype(np.float32) * 0.1),
+    }
+    ln = {"scale": jnp.asarray(1 + 0.1 * rng.standard_normal(d).astype(np.float32)),
+          "bias": jnp.asarray(0.1 * rng.standard_normal(d).astype(np.float32))}
+    out = pallas_mlp.fused_mlp_residual(x, params, ln)
+    ref = pallas_mlp._ref_math(x, ln["scale"], ln["bias"], params["w_fc"],
+                               params["b_fc"], params["w_proj"], params["b_proj"], 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    # gradients through the custom vjp
+    def loss_fused(x, p, l):
+        return jnp.sum(pallas_mlp.fused_mlp_residual(x, p, l) ** 2)
+
+    def loss_ref(x, p, l):
+        return jnp.sum(pallas_mlp._ref_math(x, l["scale"], l["bias"], p["w_fc"],
+                                            p["b_fc"], p["w_proj"], p["b_proj"],
+                                            1e-5) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, params, ln)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, params, ln)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
