@@ -29,6 +29,9 @@ def main():
                    help="torchvision fasterrcnn .pth (the reference's model_final.pth)")
     p.add_argument("--enable_detector", action="store_true",
                    help="run the JAX Faster R-CNN (random weights without a ckpt)")
+    p.add_argument("--batch_window_ms", type=float, default=0.0,
+                   help=">0: coalesce concurrent requests into one device batch")
+    p.add_argument("--max_batch", type=int, default=8)
     args = p.parse_args()
 
     enable_compilation_cache()
@@ -60,7 +63,9 @@ def main():
         from construction_clip_tpu.serve.detector import JaxDetector, ThresholdWrapper
 
         detector = ThresholdWrapper(JaxDetector(args.detector_checkpoint))
-    serve(PredictService(pipe, detector=detector, use_beam=not args.greedy),
+    serve(PredictService(pipe, detector=detector, use_beam=not args.greedy,
+                         batch_window_ms=args.batch_window_ms,
+                         max_batch=args.max_batch),
           host=args.host, port=args.port)
 
 
