@@ -99,6 +99,53 @@ def text_relevance_scores(R_text_row, tokens_row, eot_index: int) -> np.ndarray:
     return out
 
 
+def decoder_attention_map(gpt_params, gcfg, prompt_embeds, generated_tokens, *,
+                          policy=DEFAULT_POLICY):
+    """Per-generated-token last-layer decoder attention — the reference's
+    attention_map figure (reference CLIP_prefix_caption/test.py:342-350 collects
+    `outputs.attentions[-1][:, -1, -1, :]` each decode step :383-390).
+
+    Computed post-hoc in ONE forward over [prompt ‖ generated] embeddings (causal
+    attention makes per-step rows identical to the reference's per-step capture).
+    Returns [n_generated, seq_len]: mean-over-heads attention of each generated
+    position over everything before it.
+    """
+    import jax.numpy as jnp
+
+    from construction_clip_tpu.models import gpt2 as gpt2_lib
+
+    tok_emb = gpt2_lib.embed_tokens(gpt_params, generated_tokens, policy=policy)
+    embeds = jnp.concatenate([prompt_embeds.astype(tok_emb.dtype), tok_emb], axis=1)
+    _, probs = gpt2_lib.gpt2_forward(gpt_params, gcfg, inputs_embeds=embeds,
+                                     policy=policy, return_probs=True)
+    last = probs[-1]                      # [B, H, T, T]
+    t0 = prompt_embeds.shape[1]
+    rows = last[:, :, t0 - 1: -1, :].mean(axis=1)  # predicting positions, heads avg
+    return np.asarray(rows[0])
+
+
+def plot_attention_map(attn_rows: np.ndarray, out_path: str, *,
+                       token_labels=None) -> None:
+    """Heatmap figure for decoder_attention_map output (the reference uses plotly,
+    test.py:342-350; matplotlib here)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, max(3, attn_rows.shape[0] / 4)))
+    ax.imshow(attn_rows, aspect="auto", cmap="viridis")
+    ax.set_xlabel("attended position")
+    ax.set_ylabel("generated token")
+    if token_labels is not None:
+        ax.set_yticks(range(len(token_labels)))
+        ax.set_yticklabels(token_labels)
+    fig.colorbar(ax.images[0])
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
 def overlay_heatmap(image_u8: np.ndarray, relevance01: np.ndarray) -> np.ndarray:
     """JET-colormap overlay (reference show_image_relevance, attention.py:89-99).
     image_u8 [H,W,3]; relevance01 [H,W] in [0,1]. Returns uint8 [H,W,3]."""

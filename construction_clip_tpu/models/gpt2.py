@@ -75,7 +75,8 @@ def init_gpt2(key, cfg: GPT2Config, dtype=jnp.float32):
     }
 
 
-def _attn_with_cache(q, k, v, layer_cache, cache_len, attn_bias):
+def _attn_with_cache(q, k, v, layer_cache, cache_len, attn_bias,
+                     return_probs: bool = False):
     """q,k,v: [B,H,T,Dh] new positions. With a cache, writes k/v at cache_len and
     attends over the full static cache window with validity+causal masking."""
     if layer_cache is None:
@@ -90,7 +91,7 @@ def _attn_with_cache(q, k, v, layer_cache, cache_len, attn_bias):
         probs = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
                          preferred_element_type=jnp.float32).astype(q.dtype)
-        return out, None, None
+        return out, (probs if return_probs else None), None
 
     ck, cv = layer_cache  # [B, H, T_max, Dh]
     ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_len, 0))
@@ -121,8 +122,12 @@ def gpt2_forward(
     cache: Optional[KVCache] = None,
     policy: Policy = DEFAULT_POLICY,
     remat: bool = False,
+    return_probs: bool = False,
 ):
-    """Returns (logits [B,T,V], new_cache | None).
+    """Returns (logits [B,T,V], new_cache | None) — or, with return_probs=True
+    (uncached path only), (logits, probs [L,B,H,T,T]) for the decoder attention-map
+    figure (reference CLIP_prefix_caption/test.py:342-350,383-390 captures last-layer
+    attention per generated step).
 
     tokens XOR inputs_embeds. With a cache, positions start at cache.length (the new
     tokens are appended). attn_bias: additive, broadcastable to [B,H,T_q,T_k]
@@ -152,25 +157,28 @@ def gpt2_forward(
         out, nk, nv = _attn_with_cache(
             q, k, v,
             (ck, cv) if cache is not None else None,
-            start, attn_bias)
+            start, attn_bias, return_probs=return_probs and cache is None)
         h = h + merge_heads(out) @ lp["attn"]["c_proj_w"] + lp["attn"]["c_proj_b"]
         y = layer_norm(h, **lp["ln_2"], eps=cfg.layer_norm_epsilon)
         y = gelu_new(y @ lp["mlp"]["c_fc_w"] + lp["mlp"]["c_fc_b"])
         h = h + y @ lp["mlp"]["c_proj_w"] + lp["mlp"]["c_proj_b"]
-        return h, (nk, nv) if cache is not None else None
+        if cache is not None:
+            return h, (nk, nv)
+        return h, (nk if return_probs else None)
 
     if remat:
         body = jax.checkpoint(body)
     xs = (p["blocks"], cache.k, cache.v) if cache is not None else p["blocks"]
-    x, kv = jax.lax.scan(body, x, xs)
+    x, ys = jax.lax.scan(body, x, xs)
 
     x = layer_norm(x, **p["ln_f"], eps=cfg.layer_norm_epsilon)
     logits = (x @ p["wte"].T).astype(jnp.float32)
-    new_cache = None
     if cache is not None:
-        nk, nv = kv
-        new_cache = KVCache(k=nk, v=nv, length=cache.length + t)
-    return logits, new_cache
+        nk, nv = ys
+        return logits, KVCache(k=nk, v=nv, length=cache.length + t)
+    if return_probs:
+        return logits, ys  # ys = probs [L, B, H, T, T]
+    return logits, None
 
 
 def embed_tokens(params, tokens, *, policy: Policy = DEFAULT_POLICY):

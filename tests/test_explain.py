@@ -92,3 +92,39 @@ def test_interpret_end_to_end(setup):
     img = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype(np.uint8)
     overlay = overlay_heatmap(img, heat)
     assert overlay.shape == (16, 16, 3) and overlay.dtype == np.uint8
+
+
+def test_decoder_attention_map(rng, tmp_path):
+    """Post-hoc attention rows equal the reference's per-step last-layer capture
+    (causality makes them identical); rows are softmax-normalized over the past."""
+    from construction_clip_tpu.core.configs import GPT2Config
+    from construction_clip_tpu.models.gpt2 import init_gpt2, embed_tokens, gpt2_forward
+    from construction_clip_tpu.infer.explain import (
+        decoder_attention_map, plot_attention_map)
+
+    gcfg = GPT2Config.tiny()
+    params = init_gpt2(jax.random.key(1), gcfg)
+    prompt = embed_tokens(params, jnp.arange(4, dtype=jnp.int32)[None])
+    gen = jnp.asarray([[7, 9, 11]], dtype=jnp.int32)
+    rows = decoder_attention_map(params, gcfg, prompt, gen)
+    assert rows.shape == (3, 7)
+    # each row sums to 1 over its visible prefix; future positions are ~0
+    np.testing.assert_allclose(rows.sum(-1), np.ones(3), rtol=1e-5)
+    assert rows[0, 5] < 1e-6 and rows[0, 6] < 1e-6  # can't attend to the future
+
+    # per-step equivalence: step i's row == forward over [prompt ‖ gen[:i]] last row
+    _, probs = gpt2_forward(
+        params, gcfg,
+        inputs_embeds=jnp.concatenate(
+            [prompt, embed_tokens(params, gen[:, :1])], axis=1),
+        return_probs=True)
+    step0 = np.asarray(probs[-1][0].mean(0)[-1][:7])
+    padded = np.zeros(7)
+    padded[:5] = step0[:5]
+    np.testing.assert_allclose(rows[1][:5], padded[:5], rtol=1e-4, atol=1e-5)
+
+    out = str(tmp_path / "attn.png")
+    plot_attention_map(rows, out, token_labels=["a", "b", "c"])
+    import os
+
+    assert os.path.getsize(out) > 1000
