@@ -39,6 +39,8 @@ def main():
     p.add_argument("--warmup_steps", type=int, default=5000)
     p.add_argument("--gpt_checkpoint", default=None,
                    help="HF GPT-2 .pt/.bin state dict to start the LM from")
+    p.add_argument("--gpt_size", default="base", choices=["base", "tiny"],
+                   help="tiny = test-scale decoder")
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--resume", default=None)
     p.add_argument("--log_dir", default="log")
@@ -61,17 +63,21 @@ def main():
     from construction_clip_tpu.train.checkpoint import save_state, restore_state, latest_step
     from construction_clip_tpu.train.metrics import MetricLogger, StepTimer
 
-    ccfg = ClipCapConfig(
-        prefix_length=args.prefix_length, attribute_length=args.attribute_length,
-        clip_dim=640 if args.is_rn else 512, mapper=args.mapping_type,
-        mapper_layers=args.num_layers, clip_length=args.prefix_length_clip,
-        only_prefix=args.only_prefix)
-    gcfg = GPT2Config()  # ckiplab/gpt2-base-chinese shape
+    gcfg = GPT2Config() if args.gpt_size == "base" else GPT2Config.tiny()
     policy = policy_from_name(args.precision)
 
     from construction_clip_tpu.infer.precompute import load_archive
 
     archive = load_archive(args.data)  # our .npz or the reference's .pkl
+    # prefix dim from the archive itself (reference hardcodes 640-if-RN/512,
+    # train.py:407 — kept as the fallback when the archive is empty)
+    clip_dim = archive["embeddings"].shape[-1] if len(archive["embeddings"]) \
+        else (640 if args.is_rn else 512)
+    ccfg = ClipCapConfig(
+        prefix_length=args.prefix_length, attribute_length=args.attribute_length,
+        clip_dim=int(clip_dim), mapper=args.mapping_type,
+        mapper_layers=args.num_layers, clip_length=args.prefix_length_clip,
+        only_prefix=args.only_prefix)
     tokenizer = load_hf_tokenizer(args.tokenizer)
     arrays = tokenize_for_caption_training(archive, tokenizer,
                                            attribute_length=args.attribute_length)
@@ -110,19 +116,25 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     logger = MetricLogger(args.log_dir, args.prefix)
     timer = StepTimer()
-    for epoch in range(args.epochs):
-        for batch in loader:
-            state, m = step_fn(state, frozen, batch)
-            timer.tick()
-            s = int(state.step)
-            if s % 50 == 0:
-                logger.log(s, loss=float(m["loss"]), step_time=timer.mean)
-                print(f"epoch {epoch} step {s} loss {float(m['loss']):.4f} "
-                      f"{timer.mean*1e3:.0f} ms/step")
-        if (epoch + 1) % args.save_every == 0 or epoch == args.epochs - 1:
-            ckpt = os.path.join(args.out_dir, args.prefix)
-            save_state(ckpt, state)
-            print(f"saved {ckpt} @ {int(state.step)}")
+
+    from construction_clip_tpu.train.resilience import StepWatchdog, run_resilient
+
+    with StepWatchdog(timeout=600.0) as watchdog:
+        def train_epoch(state, epoch):
+            for batch in loader:
+                state, m = step_fn(state, frozen, batch)
+                timer.tick()
+                watchdog.tick()
+                s = int(state.step)
+                if s % 50 == 0:
+                    logger.log(s, loss=float(m["loss"]), step_time=timer.mean)
+                    print(f"epoch {epoch} step {s} loss {float(m['loss']):.4f} "
+                          f"{timer.mean*1e3:.0f} ms/step")
+            return state
+
+        state = run_resilient(train_epoch, state, epochs=args.epochs,
+                              checkpoint_dir=os.path.join(args.out_dir, args.prefix),
+                              save_every_epochs=args.save_every)
     # inference artifact: full {mapper, gpt} params as npz (apps/predict.py input)
     from construction_clip_tpu.train.checkpoint import save_params_npz
 
