@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _normalize_kernel(img_ref, mean_ref, inv_std_ref, out_ref):
-    x = img_ref[:].astype(jnp.float32) * (1.0 / 255.0)
+    # Mosaic has no direct uint8->float32 cast; widen through int32 first.
+    x = img_ref[:].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
     out_ref[:] = ((x - mean_ref[:]) * inv_std_ref[:]).astype(out_ref.dtype)
 
 
