@@ -157,3 +157,35 @@ def test_load_reference_pickle(tmp_path):
     assert arc["embeddings"].shape == (3, 4)
     assert list(arc["captions"]) == ["說明", "清單", "c3"]
     assert list(arc["attributes"])[0] == "缺失 墜落 "
+
+
+@needs_corpus
+def test_grain_loader(rng):
+    """grain-backed pipeline emits the same contract as ImageTextLoader."""
+    import jax
+
+    from construction_clip_tpu.data.grain_pipeline import GrainImageTextLoader
+
+    ds = CaptionPairDataset(ALL_JSON, key="violation_list", split="test")
+
+    def fake_load(path):
+        return (np.ones((80, 100, 3)) * (hash(path) % 255)).astype(np.uint8)
+
+    def fake_tokenize(texts):
+        return np.zeros((len(texts), 8), np.int32)
+
+    loader = GrainImageTextLoader(ds, fake_tokenize, batch_size=4, image_size=32,
+                                  load_image=fake_load, read_threads=2)
+    batches = list(itertools.islice(iter(loader), 3))
+    assert len(batches) == 3
+    for b in batches:
+        assert b["images"].shape == (4, 32, 32, 3)
+        assert b["images"].dtype == np.uint8
+        assert b["tokens"].shape == (4, 8)
+        assert isinstance(b["images"], jax.Array)
+    # deterministic per seed
+    l2 = GrainImageTextLoader(ds, fake_tokenize, batch_size=4, image_size=32,
+                              load_image=fake_load, read_threads=2)
+    b1 = next(iter(loader))
+    b2 = next(iter(l2))
+    np.testing.assert_array_equal(np.asarray(b1["images"]), np.asarray(b2["images"]))
