@@ -76,3 +76,39 @@ def test_t5_golden():
     dec = jnp.arange(1, 5, dtype=jnp.int32)[None]
     logits, _ = t5_forward(params, tcfg, input_ids=ids, decoder_input_ids=dec)
     check("t5_tiny", {"logits": logits[:, :, :32]})
+
+
+def test_detection_golden(rng):
+    from construction_clip_tpu.models.detection import init_fasterrcnn, fasterrcnn_infer
+
+    params = init_fasterrcnn(jax.random.key(11), num_classes=8)
+    img = jnp.asarray(np.random.default_rng(11).random((128, 128, 3)).astype(np.float32))
+    det = fasterrcnn_infer(params, img, image_size=128, pre_nms_topk=50,
+                           post_nms_topk=20, detections_per_img=5)
+    check("detection_tiny", {"boxes": det.boxes, "scores": det.scores,
+                             "labels": det.labels.astype(np.int32)})
+
+
+def test_lstm_captioner_golden():
+    from construction_clip_tpu.models.lstm_captioner import (
+        init_lstm_captioner, generate_caption)
+
+    params = init_lstm_captioner(jax.random.key(13), vocab_size=30, embed_size=8,
+                                 attention_dim=8, encoder_dim=12, decoder_dim=10)
+    feats = jax.random.normal(jax.random.key(14), (1, 6, 12))
+    toks, lengths, alphas = generate_caption(params, feats, sos_id=1, eos_id=2,
+                                             max_len=8)
+    check("lstm_tiny", {"tokens": toks, "alphas": alphas})
+
+
+def test_t5_generate_golden():
+    from construction_clip_tpu.core.configs import T5Config
+    from construction_clip_tpu.models.t5 import init_t5, t5_encode
+    from construction_clip_tpu.infer.decode_t5 import t5_generate
+
+    tcfg = T5Config.tiny()
+    params = init_t5(jax.random.key(17), tcfg)
+    enc = t5_encode(params, tcfg, jnp.arange(2, 8, dtype=jnp.int32)[None])
+    res = t5_generate(params, tcfg, enc, key=jax.random.key(18), max_steps=8,
+                      do_sample=True, top_p=0.9)
+    check("t5_generate_tiny", {"tokens": res.tokens})
