@@ -41,6 +41,47 @@ def _resize(img, out_h: int, out_w: int, antialias: bool = True):
                             antialias=antialias)
 
 
+@functools.lru_cache(maxsize=64)
+def _pil_resize_weights(in_size: int, out_size: int) -> np.ndarray:
+    """[out_size, in_size] row-stochastic weights reproducing PIL's bicubic
+    resample exactly (support-scaled Keys cubic a=-0.5, per-row normalization —
+    the algorithm behind Image.resize(..., BICUBIC))."""
+    a = -0.5
+
+    def cubic(x):
+        x = abs(x)
+        if x < 1.0:
+            return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+        if x < 2.0:
+            return (((x - 5.0) * x + 8.0) * x - 4.0) * a
+        return 0.0
+
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale
+    w = np.zeros((out_size, in_size), np.float64)
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        lo = max(int(center - support + 0.5), 0)
+        hi = min(int(center + support + 0.5), in_size)
+        ks = [cubic((j + 0.5 - center) / filterscale) for j in range(lo, hi)]
+        s = sum(ks)
+        if s != 0:
+            w[i, lo:hi] = np.asarray(ks) / s
+    return w.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_bicubic_pil(img, out_h: int, out_w: int):
+    """PIL-parity bicubic resize as two dense weight matmuls (MXU-friendly:
+    the separable filter becomes [out_h, H] and [out_w, W] GEMMs instead of
+    jax.image.resize's gather network). img [..., H, W, C] float."""
+    wh = jnp.asarray(_pil_resize_weights(img.shape[-3], out_h))
+    ww = jnp.asarray(_pil_resize_weights(img.shape[-2], out_w))
+    tmp = jnp.einsum("oh,...hwc->...owc", wh, img)
+    return jnp.einsum("pw,...owc->...opc", ww, tmp)
+
+
 def center_crop(img, size: int):
     h, w = img.shape[-3], img.shape[-2]
     top = (h - size) // 2
@@ -65,7 +106,7 @@ def preprocess_image(img_u8: np.ndarray, size: int = 224, *,
     h, w = img_u8.shape[:2]
     th, tw = resize_shorter_side_shape(h, w, size)
     x = jnp.asarray(img_u8, dtype=jnp.float32) / 255.0
-    x = _resize(x, th, tw)
+    x = resize_bicubic_pil(x, th, tw)
     x = center_crop(x, size)
     return normalize(jnp.clip(x, 0.0, 1.0), tuple(mean), tuple(std))
 
@@ -84,7 +125,7 @@ def preprocess_batch(imgs_u8: np.ndarray, size: int = 224, *,
 @functools.partial(jax.jit, static_argnames=("th", "tw", "size", "mean", "std"))
 def _preprocess_batch_jit(imgs_u8, th: int, tw: int, size: int, mean, std):
     x = imgs_u8.astype(jnp.float32) / 255.0
-    x = jax.image.resize(x, (x.shape[0], th, tw, 3), method="bicubic", antialias=True)
+    x = resize_bicubic_pil(x, th, tw)
     x = center_crop(x, size)
     return normalize(jnp.clip(x, 0.0, 1.0), mean, std)
 
