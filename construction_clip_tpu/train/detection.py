@@ -1,0 +1,181 @@
+"""Faster R-CNN training: anchor matching, balanced sampling, RPN + ROI losses.
+
+The reference's detector is an external artifact ('model_final.pth') trained with
+torchvision's loop outside the repo (reference application.py:13-25) — a user
+switching to this framework needs to (re)train the 7-class construction head, so
+training is provided here, static-shape throughout:
+
+  match_anchors   IoU matching with torchvision's thresholds (RPN fg>=0.7 / bg<0.3,
+                  low-quality-match rescue for best-anchor-per-gt; box head fg>=0.5)
+  sample_balanced fixed-size fg/bg sampling via randomized top-k (no dynamic shapes)
+  rpn_loss        sampled BCE objectness + smooth-L1 on encoded deltas
+  roi_loss        CE over classes + per-class smooth-L1 on fg rows
+  make_detection_train_step  one jitted step over the full model (backbone+FPN
+                  trainable; BN is inference-form scale/shift, i.e. frozen stats —
+                  torchvision's default for detection fine-tune)
+
+GT comes padded: boxes [B, max_gt, 4], labels [B, max_gt] (0 = padding).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from construction_clip_tpu.models.detection import (
+    ANCHOR_SIZES, ASPECT_RATIOS, IMAGE_MEAN, IMAGE_STD, box_iou, level_anchors,
+    resnet_pyramid, fpn_forward, roi_align, decode_boxes)
+
+
+def encode_boxes(boxes, anchors):
+    """Inverse of decode_boxes: gt boxes + anchors -> regression targets."""
+    ax = (anchors[:, 0] + anchors[:, 2]) * 0.5
+    ay = (anchors[:, 1] + anchors[:, 3]) * 0.5
+    aw = jnp.maximum(anchors[:, 2] - anchors[:, 0], 1e-6)
+    ah = jnp.maximum(anchors[:, 3] - anchors[:, 1], 1e-6)
+    gx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+    gy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+    gw = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1e-6)
+    gh = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1e-6)
+    return jnp.stack([(gx - ax) / aw, (gy - ay) / ah,
+                      jnp.log(gw / aw), jnp.log(gh / ah)], axis=-1)
+
+
+def match_anchors(anchors, gt_boxes, gt_valid, *, fg_thresh: float,
+                  bg_thresh: float, rescue_best: bool = True):
+    """-> (matched_gt_idx [N], labels [N]: 1 fg / 0 bg / -1 ignore)."""
+    iou = box_iou(anchors, gt_boxes)               # [N, max_gt]
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=1)
+    best_iou = jnp.max(iou, axis=1)
+    labels = jnp.where(best_iou >= fg_thresh, 1,
+                       jnp.where(best_iou < bg_thresh, 0, -1))
+    if rescue_best:
+        # every valid gt keeps its best anchor as fg even below threshold
+        best_anchor_per_gt = jnp.argmax(iou, axis=0)           # [max_gt]
+        rescue = jnp.zeros(anchors.shape[0], bool).at[best_anchor_per_gt].set(gt_valid)
+        labels = jnp.where(rescue, 1, labels)
+        best_gt = jnp.where(rescue, jnp.argmax(iou + 1e-6, axis=1), best_gt)
+    return best_gt, labels
+
+
+def sample_balanced(labels, key, *, num: int, fg_fraction: float):
+    """Fixed-size sample mask: up to num*fg_fraction fg, rest bg — randomized
+    top-k keeps shapes static (torchvision samples 256 @ 0.5 for RPN, 512 @ 0.25
+    for the box head)."""
+    n_fg = int(num * fg_fraction)
+    kf, kb = jax.random.split(key)
+    fg_score = jnp.where(labels == 1, jax.random.uniform(kf, labels.shape), -1.0)
+    _, fg_idx = jax.lax.top_k(fg_score, n_fg)
+    fg_take = jnp.take(labels, fg_idx) == 1
+    bg_score = jnp.where(labels == 0, jax.random.uniform(kb, labels.shape), -1.0)
+    _, bg_idx = jax.lax.top_k(bg_score, num - n_fg)
+    bg_take = jnp.take(labels, bg_idx) == 0
+    return fg_idx, fg_take, bg_idx, bg_take
+
+
+def smooth_l1(x, beta: float = 1.0 / 9):
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * x * x / beta, ax - 0.5 * beta)
+
+
+class DetectionBatch(NamedTuple):
+    images: jax.Array    # [B, S, S, 3] float [0,1]
+    gt_boxes: jax.Array  # [B, max_gt, 4]
+    gt_labels: jax.Array  # [B, max_gt] int32, 0 = padding
+
+
+def detection_loss(params, batch: DetectionBatch, key, *, image_size: int,
+                   num_classes: int):
+    """Full-model loss for one step: mean over the batch of RPN + ROI losses.
+    ROI head trains on gt boxes as proposals (clean-proposal regime — simple and
+    stable for few-class fine-tunes; proposal mixing can be added later)."""
+    x = (batch.images - jnp.asarray(IMAGE_MEAN)) / jnp.asarray(IMAGE_STD)
+    c_feats = resnet_pyramid(params["backbone"], x)
+    p_feats = fpn_forward(params["fpn"], c_feats)
+
+    anchors = jnp.concatenate([
+        level_anchors(f.shape[1], f.shape[2], 4 * (2 ** lvl), ANCHOR_SIZES[lvl])
+        for lvl, f in enumerate(p_feats)])
+
+    # RPN head over all levels
+    from construction_clip_tpu.models.detection import _conv
+
+    logits_all, deltas_all = [], []
+    for f in p_feats:
+        t = jax.nn.relu(_conv(f, params["rpn"]["conv"]["w"]) + params["rpn"]["conv"]["b"])
+        logits_all.append((t @ params["rpn"]["cls"]["w"] + params["rpn"]["cls"]["b"])
+                          .reshape(f.shape[0], -1))
+        deltas_all.append((t @ params["rpn"]["bbox"]["w"] + params["rpn"]["bbox"]["b"])
+                          .reshape(f.shape[0], -1, 4))
+    obj_logits = jnp.concatenate(logits_all, axis=1)    # [B, N]
+    obj_deltas = jnp.concatenate(deltas_all, axis=1)    # [B, N, 4]
+
+    def per_image(logits, deltas, gt_boxes, gt_labels, key, p_feats_img):
+        valid = gt_labels > 0
+        k1, k2 = jax.random.split(key)
+        # --- RPN
+        gt_idx, alabels = match_anchors(anchors, gt_boxes, valid,
+                                        fg_thresh=0.7, bg_thresh=0.3)
+        fg_idx, fg_take, bg_idx, bg_take = sample_balanced(
+            alabels, k1, num=256, fg_fraction=0.5)
+        obj = jax.nn.log_sigmoid(logits)
+        nobj = jax.nn.log_sigmoid(-logits)
+        cls_loss = -(jnp.sum(jnp.take(obj, fg_idx) * fg_take)
+                     + jnp.sum(jnp.take(nobj, bg_idx) * bg_take))
+        n_sampled = jnp.maximum(jnp.sum(fg_take) + jnp.sum(bg_take), 1.0)
+        cls_loss = cls_loss / n_sampled
+        targets = encode_boxes(gt_boxes[gt_idx], anchors)
+        reg = smooth_l1(deltas - targets).sum(-1)
+        reg_loss = jnp.sum(jnp.take(reg, fg_idx) * fg_take) / n_sampled
+
+        # --- ROI head on gt boxes as proposals
+        max_gt = gt_boxes.shape[0]
+        pw = jnp.clip(gt_boxes[:, 2] - gt_boxes[:, 0], 1e-6)
+        ph = jnp.clip(gt_boxes[:, 3] - gt_boxes[:, 1], 1e-6)
+        lvl = jnp.clip(jnp.floor(4 + jnp.log2(jnp.sqrt(pw * ph) / 224 + 1e-8)),
+                       2, 5).astype(jnp.int32) - 2
+        pooled = jnp.zeros((max_gt, 7, 7, p_feats[0].shape[-1]))
+        for l in range(4):
+            fl = roi_align(p_feats_img[l], gt_boxes, spatial_scale=1.0 / (4 * 2 ** l))
+            pooled = jnp.where((lvl == l)[:, None, None, None], fl, pooled)
+        flat = pooled.transpose(0, 3, 1, 2).reshape(max_gt, -1)
+        h6 = jax.nn.relu(flat @ params["box_head"]["fc6"]["w"] + params["box_head"]["fc6"]["b"])
+        h7 = jax.nn.relu(h6 @ params["box_head"]["fc7"]["w"] + params["box_head"]["fc7"]["b"])
+        cls_logits = h7 @ params["box_head"]["cls_score"]["w"] + params["box_head"]["cls_score"]["b"]
+        logp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), axis=-1)
+        roi_cls = -jnp.take_along_axis(logp, gt_labels[:, None], axis=-1)[:, 0]
+        roi_cls = jnp.sum(roi_cls * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        # per-class regression: target deltas are zero (proposals == gt) -> the
+        # regressor learns the identity on clean boxes; keep the term so weights
+        # receive gradient and stay calibrated
+        box_deltas = h7 @ params["box_head"]["bbox_pred"]["w"] + params["box_head"]["bbox_pred"]["b"]
+        box_deltas = box_deltas.reshape(max_gt, num_classes, 4)
+        sel = jnp.take_along_axis(box_deltas, gt_labels[:, None, None].clip(0), axis=1)[:, 0]
+        roi_reg = jnp.sum(smooth_l1(sel).sum(-1) * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        return cls_loss + reg_loss + roi_cls + roi_reg
+
+    losses = []
+    keys = jax.random.split(key, batch.images.shape[0])
+    for b in range(batch.images.shape[0]):
+        losses.append(per_image(obj_logits[b], obj_deltas[b],
+                                batch.gt_boxes[b], batch.gt_labels[b], keys[b],
+                                [f[b] for f in p_feats]))
+    return jnp.mean(jnp.stack(losses))
+
+
+def make_detection_train_step(tx, *, image_size: int, num_classes: int):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch: DetectionBatch, key):
+        from construction_clip_tpu.train.state import apply_gradients
+
+        loss, grads = jax.value_and_grad(
+            lambda p: detection_loss(p, batch, key, image_size=image_size,
+                                     num_classes=num_classes))(state.params)
+        return apply_gradients(state, grads, tx), {"loss": loss}
+
+    return step
