@@ -122,6 +122,14 @@ def main():
                 print(f"epoch {epoch} step {s} loss {float(m['loss']):.4f}")
         if (epoch + 1) % args.save_every == 0 or epoch == args.epochs - 1:
             save_state(os.path.join(args.out_dir, args.prefix), state)
+    # inference artifact for apps/predict_t5.py
+    from construction_clip_tpu.train.checkpoint import save_params_npz
+
+    final = ({"mapper": state.params, "t5": params["t5"]} if args.only_prefix
+             else state.params)
+    npz_path = os.path.join(args.out_dir, f"{args.prefix}.npz")
+    save_params_npz(npz_path, final)
+    print(f"saved inference params {npz_path}")
     logger.close()
 
 
