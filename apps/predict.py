@@ -40,6 +40,9 @@ def main():
     p.add_argument("--output_dir", default="output")
     p.add_argument("--plots", action="store_true", help="write annotated figures")
     p.add_argument("--explain", action="store_true", help="relevance overlays")
+    p.add_argument("--attention_maps", action="store_true",
+                   help="per-token decoder attention heatmaps (reference "
+                        "test.py attention_map figure)")
     args = p.parse_args()
 
     enable_compilation_cache()
@@ -95,6 +98,10 @@ def main():
                          pr["caption"] or pr["attribute"],
                          os.path.join(args.output_dir,
                                       os.path.basename(a.file_name) + ".relevance.png"))
+            if args.attention_maps:
+                _attention_map(pipe, imgs[i], pr,
+                               os.path.join(args.output_dir,
+                                            os.path.basename(a.file_name) + ".attn.png"))
         batch_imgs.clear()
         batch_anns.clear()
 
@@ -134,6 +141,26 @@ def _explain(pipe, clip_params, clip_cfg, preprocessed_img, raw_u8, text, out_pa
     heat = np.asarray(Image.fromarray((heat * 255).astype(np.uint8))
                       .resize((raw_u8.shape[1], raw_u8.shape[0]))) / 255.0
     Image.fromarray(overlay_heatmap(raw_u8, heat)).save(out_path)
+
+
+def _attention_map(pipe, preprocessed_img, pred, out_path):
+    """Decoder attention heatmap for the generated caption (reference
+    test.py:342-350 attention_map)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from construction_clip_tpu.infer.explain import (
+        decoder_attention_map, plot_attention_map)
+
+    ids = pipe.lm_tokenizer.encode(pred["caption"] or pred["attribute"])
+    if not ids:
+        return
+    emb, _ = pipe.classify_and_embed(preprocessed_img[None])
+    prompt = pipe.prompt_embeds(emb, pipe.attribute_tokens([pred["attribute"]]))
+    rows = decoder_attention_map(pipe.cap_params["gpt"], pipe.gcfg, prompt,
+                                 jnp.asarray(np.asarray(ids, np.int32)[None]))
+    labels = [pipe.lm_tokenizer.decode([t]) for t in ids]
+    plot_attention_map(rows, out_path, token_labels=labels)
 
 
 def _plot(image_path, rec, out_path):
