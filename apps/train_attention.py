@@ -117,17 +117,26 @@ def main():
     logger = MetricLogger(args.log_dir, "attention_model")
     timer = StepTimer()
     rng = jax.random.key(0)
-    for epoch in range(args.epochs):
-        for batch in loader:
-            rng, sub = jax.random.split(rng)
-            feats = encode(batch["images"])
-            state, loss = train_step(state, feats, batch["tokens"], sub)
-            timer.tick()
-            s = int(state.step)
-            if s % 25 == 0:
-                logger.log(s, loss=float(loss), step_time=timer.mean)
-                print(f"epoch {epoch} step {s} loss {float(loss):.4f}")
-        save_state(args.output_dir, state)
+
+    from construction_clip_tpu.train.resilience import StepWatchdog, run_resilient
+
+    with StepWatchdog(timeout=600.0) as watchdog:
+        def train_epoch(state, epoch):
+            nonlocal rng
+            for batch in loader:
+                rng, sub = jax.random.split(rng)
+                feats = encode(batch["images"])
+                state, loss = train_step(state, feats, batch["tokens"], sub)
+                timer.tick()
+                watchdog.tick()
+                s = int(state.step)
+                if s % 25 == 0:
+                    logger.log(s, loss=float(loss), step_time=timer.mean)
+                    print(f"epoch {epoch} step {s} loss {float(loss):.4f}")
+            return state
+
+        run_resilient(train_epoch, state, epochs=args.epochs,
+                      checkpoint_dir=args.output_dir, save_every_epochs=1)
     logger.close()
 
 

@@ -112,16 +112,24 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     logger = MetricLogger(args.log_dir, args.prefix)
     timer = StepTimer()
-    for epoch in range(args.epochs):
-        for batch in loader:
-            state, m = step_fn(state, frozen, batch)
-            timer.tick()
-            s = int(state.step)
-            if s % 50 == 0:
-                logger.log(s, loss=float(m["loss"]), step_time=timer.mean)
-                print(f"epoch {epoch} step {s} loss {float(m['loss']):.4f}")
-        if (epoch + 1) % args.save_every == 0 or epoch == args.epochs - 1:
-            save_state(os.path.join(args.out_dir, args.prefix), state)
+
+    from construction_clip_tpu.train.resilience import StepWatchdog, run_resilient
+
+    with StepWatchdog(timeout=600.0) as watchdog:
+        def train_epoch(state, epoch):
+            for batch in loader:
+                state, m = step_fn(state, frozen, batch)
+                timer.tick()
+                watchdog.tick()
+                s = int(state.step)
+                if s % 50 == 0:
+                    logger.log(s, loss=float(m["loss"]), step_time=timer.mean)
+                    print(f"epoch {epoch} step {s} loss {float(m['loss']):.4f}")
+            return state
+
+        state = run_resilient(train_epoch, state, epochs=args.epochs,
+                              checkpoint_dir=os.path.join(args.out_dir, args.prefix),
+                              save_every_epochs=args.save_every)
     # inference artifact for apps/predict_t5.py
     from construction_clip_tpu.train.checkpoint import save_params_npz
 
