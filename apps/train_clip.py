@@ -61,8 +61,19 @@ def main():
     tokenizer = load_clip_tokenizer(args.clip_bpe)
     policy = policy_from_name(args.precision)
 
-    n_dev = len(jax.devices())
-    mesh = create_mesh({DATA_AXIS: n_dev, MODEL_AXIS: 1})
+    import math
+
+    # the per-step batch is groups_per_batch class-balanced groups of
+    # combination_num images each; the data axis must divide it (reference runs
+    # one 9-image group per step, CLIP/train.py:120 — indivisible by e.g. 8 chips)
+    step_batch = args.groups_per_batch * args.combination_num
+    n_dev = math.gcd(len(jax.devices()), step_batch)
+    if n_dev < len(jax.devices()):
+        print(f"note: using {n_dev}/{len(jax.devices())} devices — step batch "
+              f"{step_batch} must be divisible by the data axis "
+              f"(raise --groups_per_batch to use more chips)")
+    mesh = create_mesh({DATA_AXIS: n_dev, MODEL_AXIS: 1},
+                       devices=jax.devices()[:n_dev])
     print(f"mesh: {n_dev} x {jax.devices()[0].platform}")
 
     train_ds = PairGroupDataset(args.json_path, key=args.key, split="train",
