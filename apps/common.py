@@ -85,6 +85,33 @@ def load_hf_tokenizer(name_or_path: str):
     return AutoTokenizer.from_pretrained(name_or_path)
 
 
+def stream_corpus(annotations, image_root: str, batch_size: int, *,
+                  stage_size: int = 256):
+    """Yield (anns_batch, staged_u8 [n, S, S, 3]) over a corpus, skipping unreadable
+    files with the reference's skip-on-error behavior (reference predict.py:57-88).
+    Shared by the predict/parse CLIs."""
+    from construction_clip_tpu.data.pipeline import default_load_image, host_shape_unify
+
+    batch_imgs, batch_anns = [], []
+    for a in annotations:
+        try:
+            img = default_load_image(os.path.join(image_root, a.file_name))
+        except (FileNotFoundError, OSError) as e:
+            print(f"skip {a.file_name}: {e}")
+            continue
+        batch_imgs.append(host_shape_unify(img, stage_size))
+        batch_anns.append(a)
+        if len(batch_imgs) == batch_size:
+            import numpy as np
+
+            yield batch_anns, np.stack(batch_imgs)
+            batch_imgs, batch_anns = [], []
+    if batch_imgs:
+        import numpy as np
+
+        yield batch_anns, np.stack(batch_imgs)
+
+
 class HFTokenizerShim:
     """Minimal encode/decode facade over a `tokenizers` Tokenizer."""
 

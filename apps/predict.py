@@ -49,7 +49,6 @@ def main():
     import jax
 
     from construction_clip_tpu.core.configs import ClipCapConfig, GPT2Config
-    from construction_clip_tpu.data.pipeline import default_load_image, host_shape_unify
     from construction_clip_tpu.data.preprocess import preprocess_batch
     from construction_clip_tpu.data.schema import load_annotations
     from construction_clip_tpu.infer.caption import CaptionPipeline
@@ -72,15 +71,14 @@ def main():
         clip_tokenizer=load_clip_tokenizer(args.clip_bpe),
         lm_tokenizer=load_hf_tokenizer(args.tokenizer))
 
+    from common import stream_corpus
+
     os.makedirs(args.output_dir, exist_ok=True)
     annotations = load_annotations(args.json_path)
     results = []
-    batch_imgs, batch_anns = [], []
-
-    def flush():
-        if not batch_imgs:
-            return
-        imgs = preprocess_batch(np.stack(batch_imgs), clip_cfg.vision.image_size)
+    for batch_anns, staged in stream_corpus(annotations, args.image_root,
+                                            args.batch_size):
+        imgs = preprocess_batch(staged, clip_cfg.vision.image_size)
         preds = pipe.caption_images(imgs, use_beam=args.beam)
         for i, (a, pr) in enumerate(zip(batch_anns, preds)):
             rec = {"id": a.id, "file_name": a.file_name,
@@ -94,7 +92,7 @@ def main():
                       os.path.join(args.output_dir,
                                    os.path.basename(a.file_name) + ".png"))
             if args.explain:
-                _explain(pipe, clip_params, clip_cfg, imgs[i], batch_imgs[i],
+                _explain(pipe, clip_params, clip_cfg, imgs[i], staged[i],
                          pr["caption"] or pr["attribute"],
                          os.path.join(args.output_dir,
                                       os.path.basename(a.file_name) + ".relevance.png"))
@@ -102,20 +100,6 @@ def main():
                 _attention_map(pipe, imgs[i], pr,
                                os.path.join(args.output_dir,
                                             os.path.basename(a.file_name) + ".attn.png"))
-        batch_imgs.clear()
-        batch_anns.clear()
-
-    for a in annotations:
-        try:
-            img = default_load_image(os.path.join(args.image_root, a.file_name))
-        except (FileNotFoundError, OSError) as e:  # reference's skip-on-error
-            print(f"skip {a.file_name}: {e}")
-            continue
-        batch_imgs.append(host_shape_unify(img, 256))
-        batch_anns.append(a)
-        if len(batch_imgs) == args.batch_size:
-            flush()
-    flush()
 
     out_json = os.path.join(args.output_dir, "output_log.json")
     with open(out_json, "w", encoding="utf-8") as f:

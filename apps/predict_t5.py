@@ -40,7 +40,6 @@ def main():
     import jax.numpy as jnp
 
     from construction_clip_tpu.core.configs import ClipCapConfig, T5Config
-    from construction_clip_tpu.data.pipeline import default_load_image, host_shape_unify
     from construction_clip_tpu.data.preprocess import preprocess_batch
     from construction_clip_tpu.data.schema import load_annotations
     from construction_clip_tpu.infer.decode_t5 import t5_generate
@@ -66,14 +65,13 @@ def main():
         clip_params, clip_cfg, clip_tok.tokenize(list(CAPTION_TYPE_PROMPTS), ctx),
         clip_tok.tokenize(list(VIOLATION_TYPES), ctx))
 
+    from common import stream_corpus
+
     annotations = load_annotations(args.json_path)
     results = []
-    batch_imgs, batch_anns = [], []
 
-    def flush():
-        if not batch_imgs:
-            return
-        x = preprocess_batch(np.stack(batch_imgs), clip_cfg.vision.image_size)
+    def process(batch_anns, staged):
+        x = preprocess_batch(staged, clip_cfg.vision.image_size)
         emb, ct, vt = embed_classify(x)
         attrs = [attribute_string(CAPTION_TYPE_PROMPTS[int(c)], VIOLATION_TYPES[int(v)])
                  for c, v in zip(np.asarray(ct), np.asarray(vt))]
@@ -95,20 +93,10 @@ def main():
                             "attribute": attr, "caption": cap,
                             "ground_truth_caption": ann.caption or ann.violation_list})
             print(f"{ann.file_name}: {attr}{cap}")
-        batch_imgs.clear()
-        batch_anns.clear()
 
-    for a in annotations:
-        try:
-            img = default_load_image(os.path.join(args.image_root, a.file_name))
-        except (FileNotFoundError, OSError) as e:
-            print(f"skip {a.file_name}: {e}")
-            continue
-        batch_imgs.append(host_shape_unify(img, 256))
-        batch_anns.append(a)
-        if len(batch_imgs) == args.batch_size:
-            flush()
-    flush()
+    for batch_anns, staged in stream_corpus(annotations, args.image_root,
+                                            args.batch_size):
+        process(batch_anns, staged)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w", encoding="utf-8") as f:

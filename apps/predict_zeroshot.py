@@ -35,7 +35,6 @@ def main():
 
     from construction_clip_tpu.data.labels import (
         VIOLATION_TYPES, CAPTION_TYPE_PROMPTS, CAPTION_TYPES)
-    from construction_clip_tpu.data.pipeline import default_load_image, host_shape_unify
     from construction_clip_tpu.data.preprocess import preprocess_batch
     from construction_clip_tpu.data.schema import load_annotations
     from construction_clip_tpu.infer.zeroshot import label_features, classify_batch
@@ -50,16 +49,15 @@ def main():
     feats = label_features(params, cfg,
                            jnp.asarray(tokenizer.tokenize(prompts, cfg.text.context_length)))
 
+    from common import stream_corpus
+
     annotations = load_annotations(args.json_path)
     results, correct, total = [], 0, 0
     all_probs = []
-    batch_imgs, batch_anns = [], []
 
-    def flush():
+    def process(batch_anns, staged):
         nonlocal correct, total
-        if not batch_imgs:
-            return
-        imgs = preprocess_batch(np.stack(batch_imgs), cfg.vision.image_size)
+        imgs = preprocess_batch(staged, cfg.vision.image_size)
         probs, pred = classify_batch(params, cfg, imgs, feats)
         for a, pr, pd in zip(batch_anns, np.asarray(probs), np.asarray(pred)):
             label = names[int(pd)]
@@ -71,20 +69,10 @@ def main():
             if gt:
                 total += 1
                 correct += int(label == gt)
-        batch_imgs.clear()
-        batch_anns.clear()
 
-    for a in annotations:
-        try:
-            img = default_load_image(os.path.join(args.image_root, a.file_name))
-        except (FileNotFoundError, OSError) as e:
-            print(f"skip {a.file_name}: {e}")
-            continue
-        batch_imgs.append(host_shape_unify(img, 256))
-        batch_anns.append(a)
-        if len(batch_imgs) == args.batch_size:
-            flush()
-    flush()
+    for batch_anns, staged in stream_corpus(annotations, args.image_root,
+                                            args.batch_size):
+        process(batch_anns, staged)
 
     if total:
         print(f"accuracy: {correct}/{total} = {correct/total:.3f}")
