@@ -13,7 +13,7 @@ import functools
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from construction_clip_tpu.core.configs import ClipCapConfig, GPT2Config
 from construction_clip_tpu.core.mesh import DATA_AXIS
@@ -58,7 +58,7 @@ def make_caption_train_step(ccfg: ClipCapConfig, gcfg: GPT2Config, tx, mesh: Mes
             sharded_step, mesh=mesh,
             in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
 
     @functools.partial(

@@ -13,7 +13,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from construction_clip_tpu.core.configs import CLIPConfig
 from construction_clip_tpu.core.mesh import DATA_AXIS
@@ -60,7 +60,7 @@ def make_train_step(cfg: CLIPConfig, tx, mesh: Mesh, *,
             sharded_step, mesh=mesh,
             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
 
     @functools.partial(

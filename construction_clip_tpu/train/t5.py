@@ -9,7 +9,7 @@ import functools
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from construction_clip_tpu.core.configs import ClipCapConfig, T5Config
 from construction_clip_tpu.core.mesh import DATA_AXIS
@@ -48,7 +48,7 @@ def make_t5_caption_train_step(ccfg: ClipCapConfig, tcfg: T5Config, tx, mesh: Me
         sharded_step = shard_map(
             sharded_step, mesh=mesh,
             in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(), P()), check_rep=False)
+            out_specs=(P(), P()), check_vma=False)
 
     @functools.partial(
         jax.jit,

@@ -7,7 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from construction_clip_tpu.ops.pallas_collectives import ring_all_gather
 
@@ -21,9 +21,9 @@ def test_ring_all_gather_matches_lax(n_dev, chunk, d, rng):
 
     ours = shard_map(lambda s: ring_all_gather(s, axis="x", interpret=True),
                      mesh=mesh, in_specs=P("x"), out_specs=P(None),
-                     check_rep=False)(x)
+                     check_vma=False)(x)
     ref = shard_map(lambda s: jax.lax.all_gather(s, "x", tiled=True),
                     mesh=mesh, in_specs=P("x"), out_specs=P(None),
-                    check_rep=False)(x)
+                    check_vma=False)(x)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref))
     np.testing.assert_allclose(np.asarray(ours), np.asarray(x))
