@@ -39,6 +39,8 @@ def main():
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--resume", default=None, help="orbax checkpoint dir to resume from")
     p.add_argument("--log_dir", default="log")
+    p.add_argument("--native_loader", action="store_true",
+                   help="decode JPEGs with the C++ libjpeg ingest (native/)")
     p.add_argument("--watchdog_timeout", type=float, default=600.0,
                    help="seconds without step progress before a stall is logged")
     args = p.parse_args()
@@ -87,9 +89,14 @@ def main():
         return tokenizer.tokenize(texts, cfg.text.context_length)
 
     def make_loader(ds):
-        return ImageTextLoader(
-            ds, tokenize, batch_size=args.groups_per_batch, mesh=mesh,
-            load_image=lambda f: default_load_image(os.path.join(args.image_path, f)))
+        if args.native_loader:
+            from construction_clip_tpu.data.native_loader import load_image_native
+
+            load = lambda f: load_image_native(os.path.join(args.image_path, f), 256)
+        else:
+            load = lambda f: default_load_image(os.path.join(args.image_path, f))
+        return ImageTextLoader(ds, tokenize, batch_size=args.groups_per_batch,
+                               mesh=mesh, load_image=load)
 
     train_loader, test_loader = make_loader(train_ds), make_loader(test_ds)
     steps_per_epoch = len(train_loader)

@@ -37,6 +37,8 @@ def main():
     p.add_argument("--output_prefix", default="clip_cap")
     p.add_argument("--resume", default=None)
     p.add_argument("--log_dir", default="log")
+    p.add_argument("--native_loader", action="store_true",
+                   help="decode JPEGs with the C++ libjpeg ingest (native/)")
     args = p.parse_args()
 
     enable_compilation_cache()
@@ -61,10 +63,15 @@ def main():
     def make_loader(split):
         ds = CaptionPairDataset(args.json_path, key=args.key, split=split,
                                 train_ratio=args.train_ratio)
+        if args.native_loader:
+            from construction_clip_tpu.data.native_loader import load_image_native
+
+            load = lambda f: load_image_native(os.path.join(args.image_path, f), 256)
+        else:
+            load = lambda f: default_load_image(os.path.join(args.image_path, f))
         return ImageTextLoader(
             ds, lambda texts: tokenizer.tokenize(texts, cfg.text.context_length),
-            batch_size=args.batch_size * n_dev, mesh=mesh,
-            load_image=lambda f: default_load_image(os.path.join(args.image_path, f)))
+            batch_size=args.batch_size * n_dev, mesh=mesh, load_image=load)
 
     train_loader, test_loader = make_loader("train"), make_loader("test")
     tx = make_adamw(args.lr, warmup_steps=args.warmup_steps,
