@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Run every benchmark (encode headline, decode, train step, serving) and write a
+consolidated JSON — one command for a round's perf snapshot.
+
+Usage: python tools/run_all_benches.py [--out BENCH_SNAPSHOT.json]
+Each bench runs as a subprocess (isolated TPU state); stderr streams through.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCHES = [
+    ("encode", [sys.executable, os.path.join(REPO, "bench.py")]),
+    ("decode", [sys.executable, os.path.join(REPO, "tools/bench_decode.py")]),
+    ("train", [sys.executable, os.path.join(REPO, "tools/bench_train.py")]),
+    ("serve", [sys.executable, os.path.join(REPO, "tools/bench_serve.py")]),
+]
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default="BENCH_SNAPSHOT.json")
+    p.add_argument("--timeout", type=int, default=3600, help="per bench, seconds")
+    args = p.parse_args()
+
+    results = {}
+    for name, cmd in BENCHES:
+        print(f"=== {name} ===", file=sys.stderr, flush=True)
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                               timeout=args.timeout)
+            sys.stderr.write(r.stderr[-2000:])
+            line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+            results[name] = json.loads(line[-1]) if line else {
+                "error": f"exit {r.returncode}"}
+        except subprocess.TimeoutExpired:
+            results[name] = {"error": "timeout"}
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
