@@ -14,6 +14,7 @@ from construction_clip_tpu.data.datasets import (
 from construction_clip_tpu.data.pipeline import ImageTextLoader, ArrayLoader
 
 ALL_JSON = "/root/reference/all.json"
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 needs_corpus = pytest.mark.skipif(not os.path.exists(ALL_JSON),
                                   reason="reference corpus not mounted")
 
@@ -189,3 +190,32 @@ def test_grain_loader(rng):
     b1 = next(iter(loader))
     b2 = next(iter(l2))
     np.testing.assert_array_equal(np.asarray(b1["images"]), np.asarray(b2["images"]))
+
+
+def test_stream_corpus_helper(tmp_path):
+    """apps/common.stream_corpus: batching + skip-on-missing semantics."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO_ROOT, "apps"))
+    from common import stream_corpus
+
+    from PIL import Image
+
+    from construction_clip_tpu.data.schema import Annotation
+
+    rng = np.random.default_rng(0)
+    anns = []
+    for i in range(5):
+        fn = f"s{i}.jpg"
+        Image.fromarray((rng.random((50, 70, 3)) * 255).astype(np.uint8)).save(
+            tmp_path / fn)
+        anns.append(Annotation(id=i, file_name=fn))
+    anns.insert(2, Annotation(id=99, file_name="MISSING.jpg"))
+
+    batches = list(stream_corpus(anns, str(tmp_path), batch_size=2, stage_size=32))
+    sizes = [len(b[0]) for b in batches]
+    assert sizes == [2, 2, 1]  # 5 readable, missing skipped, remainder flushed
+    for batch_anns, staged in batches:
+        assert staged.shape == (len(batch_anns), 32, 32, 3)
+        assert staged.dtype == np.uint8
+    assert all(a.id != 99 for b in batches for a in b[0])
