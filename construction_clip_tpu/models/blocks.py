@@ -65,11 +65,22 @@ def apply_block(
     return_probs: bool = False,
     probs_probe=None,
 ):
+    probs = None
+    if bias is None and not return_probs and probs_probe is None:
+        from construction_clip_tpu.ops import pallas_attention_block as fab
+        from construction_clip_tpu.ops.attention import resolve_impl
+
+        if resolve_impl() == "pallas" and fab.supported(x, n_heads):
+            # fully-fused LN+QKV+MHA+proj+residual (31% faster than the
+            # composable path at encoder shapes — see the module docstring)
+            x = fab.fused_attention_block(x, params["ln_1"], params["attn"],
+                                          n_heads=n_heads, causal=is_causal,
+                                          eps=ln_eps)
+            return _mlp_residual(x, params, act, ln_eps)
     h = layer_norm(x, **params["ln_1"], eps=ln_eps)
     attn_out = qkv_attention(h, params["attn"], n_heads, bias=bias,
                              is_causal=is_causal, return_probs=return_probs,
                              probs_probe=probs_probe)
-    probs = None
     if return_probs:
         attn_out, probs = attn_out
     x = x + attn_out
