@@ -50,8 +50,13 @@ def load_clip(checkpoint: str | None, *, arch: str = "vit_b_32"):
     return params, cfg
 
 
-def load_clip_tokenizer(merges_path: str | None):
-    """CLIP BPE tokenizer; merges_path None -> look in standard spots."""
+def load_clip_tokenizer(merges_path: str | None, *, expect_vocab: int | None = None):
+    """CLIP BPE tokenizer; merges_path None -> look in standard spots.
+
+    expect_vocab (pass cfg.text.vocab_size when pairing with pretrained weights)
+    guards against a merges/vocab mismatch: encode_text pools at the EOT position,
+    so an off-by-one vocabulary silently reads the wrong embedding rows.
+    """
     from construction_clip_tpu.data.clip_tokenizer import ClipTokenizer
 
     candidates = [merges_path] if merges_path else []
@@ -59,7 +64,13 @@ def load_clip_tokenizer(merges_path: str | None):
                    "bpe_simple_vocab_16e6.txt.gz"]
     for c in candidates:
         if c and os.path.exists(c):
-            return ClipTokenizer(c)
+            tok = ClipTokenizer(c)
+            if expect_vocab is not None and tok.vocab_size != expect_vocab:
+                raise ValueError(
+                    f"tokenizer vocab {tok.vocab_size} != model text vocab "
+                    f"{expect_vocab} (merges file {c}): text encodings would "
+                    "misalign with the pretrained embedding table")
+            return tok
     raise FileNotFoundError(
         "CLIP BPE merges file not found; pass --clip_bpe /path/to/"
         "bpe_simple_vocab_16e6.txt.gz (ships with OpenAI CLIP)")

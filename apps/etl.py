@@ -3,8 +3,11 @@
 
   folder-month / folder-other / folder-labeled   folders -> annotation JSON
   docx                                           DOCX reports (needs docx2txt)
+  pdf-report                                     PDF safety reports (needs PyMuPDF)
   correct-names | count | add-key | add-path | combine
   corpus                                         annotation JSON -> tokenizer text
+  build-corpus                                   reports+regulation+wiki -> output.txt
+                                                 (reference corpus.py main)
 """
 
 from __future__ import annotations
@@ -63,6 +66,21 @@ def main():
     cp.add_argument("json_path")
     cp.add_argument("--out", default="output.txt")
 
+    pr = sub.add_parser("pdf-report")
+    pr.add_argument("report_dir")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--image-out", default=None,
+                    help="directory for extracted report photos")
+
+    bc = sub.add_parser("build-corpus")
+    bc.add_argument("--report-dir", default=None)
+    bc.add_argument("--regulation-pdf", default=None)
+    bc.add_argument("--annotations", nargs="*", default=[])
+    bc.add_argument("--wiki-seeds", nargs="*", default=[],
+                    help="zh-wikipedia seed URLs (needs network egress)")
+    bc.add_argument("--num-layers", type=int, default=2)
+    bc.add_argument("--out", default="output.txt")
+
     args = p.parse_args()
     from construction_clip_tpu.data import etl
     from construction_clip_tpu.data.corpus import corpus_from_annotations, write_corpus
@@ -91,6 +109,17 @@ def main():
         n = etl.combine(args.inputs, args.out)
     elif args.cmd == "corpus":
         n = write_corpus(corpus_from_annotations(args.json_path), args.out)
+    elif args.cmd == "pdf-report":
+        n = len(etl.convert_pdf_report(args.report_dir, output_dir=args.image_out,
+                                       out_path=args.out))
+    elif args.cmd == "build-corpus":
+        from construction_clip_tpu.data.corpus import build_corpus
+
+        n = len(build_corpus(report_dir=args.report_dir,
+                             regulation_pdf=args.regulation_pdf,
+                             annotation_jsons=args.annotations,
+                             wiki_seeds=args.wiki_seeds,
+                             num_layers=args.num_layers, out_path=args.out))
     print(n)
 
 

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Detector evaluation: run the Faster R-CNN over a box-annotated dataset and
+report COCO-style mAP (mAP@[.5:.95], AP50, AP75, per-class).
+
+The reference has no detector evaluation at all (its detector ships pre-trained,
+reference application.py:13-25); this closes the loop for train_detection.py.
+
+Dataset JSON: {"annotations": [{"file_name": ..., "boxes": [[x1,y1,x2,y2]...],
+"labels": [int...]}]} with boxes in ORIGINAL image pixels, labels 1-based.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from common import enable_compilation_cache
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--json_path", required=True)
+    p.add_argument("--image_root", default=".")
+    p.add_argument("--checkpoint", default=None,
+                   help="torchvision-layout .pth state dict (model_final.pth)")
+    p.add_argument("--num_classes", type=int, default=8)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--min_score", type=float, default=0.0)
+    p.add_argument("--out", default=None, help="write the metrics JSON here too")
+    args = p.parse_args()
+
+    enable_compilation_cache()
+    from construction_clip_tpu.infer.detection_eval import evaluate_detections
+    from construction_clip_tpu.serve.detector import JaxDetector
+    from construction_clip_tpu.data.pipeline import default_load_image
+
+    det = JaxDetector(args.checkpoint, num_classes=args.num_classes,
+                      image_size=args.image_size)
+
+    with open(args.json_path, encoding="utf-8") as f:
+        anns = json.load(f)["annotations"]
+
+    preds, gts = [], []
+    for a in anns:
+        try:
+            img = default_load_image(os.path.join(args.image_root, a["file_name"]))
+        except (FileNotFoundError, OSError) as e:
+            print(f"skip {a['file_name']}: {e}")
+            continue
+        out = det.detect(img)
+        live = [(b, l, s) for b, l, s in
+                zip(out["boxes"], out["labels"], out["scores"])
+                if s > args.min_score]
+        preds.append({"boxes": [b for b, _, _ in live],
+                      "labels": [l for _, l, _ in live],
+                      "scores": [s for _, _, s in live]})
+        gts.append({"boxes": a.get("boxes", []), "labels": a.get("labels", [])})
+
+    metrics = evaluate_detections(preds, gts, num_classes=args.num_classes)
+    print(json.dumps(metrics, indent=2))
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            json.dump(metrics, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

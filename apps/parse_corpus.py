@@ -30,7 +30,7 @@ def main():
     enable_compilation_cache()
     arch = {"ViT-B/32": "vit_b_32", "ViT-B/16": "vit_b_16", "ViT-L/14": "vit_l_14"}
     params, cfg = load_clip(args.checkpoint, arch=arch[args.clip_model_type])
-    tokenizer = load_clip_tokenizer(args.clip_bpe)
+    tokenizer = load_clip_tokenizer(args.clip_bpe, expect_vocab=cfg.text.vocab_size if args.checkpoint else None)
 
     import os
 

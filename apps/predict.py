@@ -68,7 +68,7 @@ def main():
     pipe = CaptionPipeline(
         clip_params=clip_params, clip_cfg=clip_cfg, cap_params=cap_params,
         ccfg=ccfg, gcfg=gcfg,
-        clip_tokenizer=load_clip_tokenizer(args.clip_bpe),
+        clip_tokenizer=load_clip_tokenizer(args.clip_bpe, expect_vocab=clip_cfg.text.vocab_size if args.clip_checkpoint else None),
         lm_tokenizer=load_hf_tokenizer(args.tokenizer))
 
     from common import stream_corpus
@@ -108,23 +108,29 @@ def main():
 
 
 def _explain(pipe, clip_params, clip_cfg, preprocessed_img, raw_u8, text, out_path):
-    """Relevance overlay for (image, generated caption) — the reference predict.py
-    attention-figure path (reference predict.py:79-86)."""
+    """Relevance products for (image, generated caption): the JET image overlay
+    (reference attention.py:75-99) AND the per-token text heatmap HTML
+    (reference attention.py:113-143 show_heatmap_on_text -> test.html)."""
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image
 
     from construction_clip_tpu.infer.explain import (
-        interpret, image_relevance_map, overlay_heatmap)
+        interpret, image_relevance_map, overlay_heatmap,
+        text_heatmap_per_char, render_text_heatmap_html)
 
     tokens = pipe.clip_tokenizer.tokenize([text], clip_cfg.text.context_length)
-    _, R_image = interpret(clip_params, clip_cfg, preprocessed_img[None],
-                           jnp.asarray(tokens))
+    R_text, R_image = interpret(clip_params, clip_cfg, preprocessed_img[None],
+                                jnp.asarray(tokens))
     heat = image_relevance_map(np.asarray(R_image)[0, 0], clip_cfg.vision.grid,
                                out_size=raw_u8.shape[0])
     heat = np.asarray(Image.fromarray((heat * 255).astype(np.uint8))
                       .resize((raw_u8.shape[1], raw_u8.shape[0]))) / 255.0
     Image.fromarray(overlay_heatmap(raw_u8, heat)).save(out_path)
+    char_scores = text_heatmap_per_char(np.asarray(R_text)[0], tokens[0], text,
+                                        pipe.clip_tokenizer)
+    render_text_heatmap_html(char_scores, out_path.rsplit(".", 1)[0] + ".html",
+                             title=text)
 
 
 def _attention_map(pipe, preprocessed_img, pred, out_path):

@@ -51,7 +51,7 @@ def main():
     from construction_clip_tpu.train.checkpoint import load_params_npz
 
     clip_params, clip_cfg = load_clip(args.clip_checkpoint, arch=args.arch)
-    clip_tok = load_clip_tokenizer(args.clip_bpe)
+    clip_tok = load_clip_tokenizer(args.clip_bpe, expect_vocab=clip_cfg.text.vocab_size if args.clip_checkpoint else None)
     lm_tok = load_hf_tokenizer(args.tokenizer)
     tcfg = T5Config() if args.t5_size == "small" else T5Config.tiny()
     ccfg = ClipCapConfig(prefix_length=args.prefix_length, attribute_length=0,

@@ -40,7 +40,7 @@ def main():
     from construction_clip_tpu.infer.zeroshot import label_features, classify_batch
 
     params, cfg = load_clip(args.checkpoint, arch=args.arch)
-    tokenizer = load_clip_tokenizer(args.clip_bpe)
+    tokenizer = load_clip_tokenizer(args.clip_bpe, expect_vocab=cfg.text.vocab_size if args.checkpoint else None)
     if args.key == "violation_type":
         prompts, names = list(VIOLATION_TYPES), list(VIOLATION_TYPES)
     else:

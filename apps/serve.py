@@ -56,7 +56,7 @@ def main():
     pipe = CaptionPipeline(
         clip_params=clip_params, clip_cfg=clip_cfg, cap_params=cap_params,
         ccfg=ccfg, gcfg=gcfg,
-        clip_tokenizer=load_clip_tokenizer(args.clip_bpe),
+        clip_tokenizer=load_clip_tokenizer(args.clip_bpe, expect_vocab=clip_cfg.text.vocab_size if args.clip_checkpoint else None),
         lm_tokenizer=load_hf_tokenizer(args.tokenizer))
     detector = None
     if args.enable_detector or args.detector_checkpoint:

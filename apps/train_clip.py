@@ -60,7 +60,7 @@ def main():
     from construction_clip_tpu.train.metrics import MetricLogger, StepTimer
 
     params, cfg = load_clip(args.checkpoint, arch=args.arch)
-    tokenizer = load_clip_tokenizer(args.clip_bpe)
+    tokenizer = load_clip_tokenizer(args.clip_bpe, expect_vocab=cfg.text.vocab_size if args.checkpoint else None)
     policy = policy_from_name(args.precision)
 
     import math

@@ -104,7 +104,11 @@ def clean_text(text: str) -> str:
 
 
 class ClipTokenizer:
-    def __init__(self, merges_path: str, *, n_merges: int | None = 48894 - 1):
+    # OpenAI slices merges[1 : 49152-256-2+1] -> 48894 merge rules, giving
+    # vocab 256+256+48894+2 = 49408 with sot/eot = 49406/49407.
+    N_MERGES_OPENAI = 49152 - 256 - 2
+
+    def __init__(self, merges_path: str, *, n_merges: int | None = N_MERGES_OPENAI):
         if merges_path.endswith(".gz"):
             with gzip.open(merges_path, "rt", encoding="utf-8") as f:
                 lines = f.read().split("\n")
@@ -176,11 +180,8 @@ class ClipTokenizer:
                  *, truncate: bool = True) -> np.ndarray:
         """[B, context_length] int32: SOT + bpe + EOT, zero-padded — the
         `clip.tokenize` contract the reference relies on."""
-        if isinstance(texts, str):
-            texts = [texts]
-        out = np.zeros((len(list(texts) if not isinstance(texts, list) else texts),
-                        context_length), dtype=np.int32)
-        texts = list(texts)
+        texts = [texts] if isinstance(texts, str) else list(texts)
+        out = np.zeros((len(texts), context_length), dtype=np.int32)
         for row, text in enumerate(texts):
             ids = [self.sot] + self.encode(text) + [self.eot]
             if len(ids) > context_length:

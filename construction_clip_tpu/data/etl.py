@@ -13,7 +13,9 @@ docx2txt are not in this image):
                             安全帽 -> 防護具; objects = the folder noun).
   convert_docx              image.py:311-371  — DOCX text+images (gated on docx2txt).
   convert_pdf_report        image.py:21-194   — PDF reports, 4 layout formats A-D,
-                            caption_type from 缺失 keywords (gated on fitz/PyMuPDF).
+                            caption_type from 缺失 keywords; parsing logic lives in
+                            data/report_parse.py (pure, tested on synthetic pages),
+                            only the PDF reading needs fitz/PyMuPDF.
   image_name_correction     image.py:374-391  — 2022-report filename renumbering.
   count / add_key / add_path / combine  image.py:394-452.
 """
@@ -146,16 +148,61 @@ def convert_docx(root: str, *, output_folder: str = "output_doc",
     return anns
 
 
-def convert_pdf_report(*args, **kwargs):
-    """PDF safety reports (4 layout formats, image.py:21-194). Requires PyMuPDF."""
+def load_report_pages(pdf_path: str):
+    """Open one report PDF into the parser's page model (requires PyMuPDF)."""
     try:
-        import fitz  # noqa: F401
+        import fitz
     except ImportError as e:
-        raise ImportError("convert_pdf_report requires PyMuPDF (fitz), not in this "
-                          "image; use pre-extracted JSON") from e
-    raise NotImplementedError(
-        "PDF report extraction requires the proprietary report files; the folder/"
-        "DOCX converters cover the shipped datasets (chienkuo/reju/fengyu)")
+        raise ImportError("reading report PDFs requires PyMuPDF (fitz), not in "
+                          "this image; drive report_parse.parse_report with "
+                          "pre-extracted page text instead") from e
+    from construction_clip_tpu.data.report_parse import ReportImage, ReportPage
+
+    pdf = fitz.open(pdf_path)
+    pages = []
+    for page in pdf:
+        images = []
+        for img in page.get_images():
+            base = pdf.extract_image(img[0])
+            images.append(ReportImage(ext=base["ext"], data=base["image"]))
+        pages.append(ReportPage(text=page.get_text("text"), images=images))
+    return pages
+
+
+def convert_pdf_report(report_dir: str, *, output_dir: Optional[str] = None,
+                       out_path: Optional[str] = None) -> list[Annotation]:
+    """PDF safety reports -> annotations (reference image.py:21-194).
+
+    Walks `report_dir` for .pdf files, detects each report's layout (A-D),
+    parses captions/caption_type per the layout rules (see
+    data/report_parse.py — that module holds the tested parsing logic), writes
+    the embedded photos to `output_dir` and the annotation JSON to `out_path`.
+    """
+    from construction_clip_tpu.data.report_parse import parse_report
+
+    anns: list[Annotation] = []
+    next_id = 0
+    caption_type = "violation"
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+    for file_name in sorted(os.listdir(report_dir)):
+        if not file_name.endswith("pdf"):
+            continue
+        pages = load_report_pages(os.path.join(report_dir, file_name))
+        # layout C inherits the running caption_type across pages and files
+        raw, to_save, next_id, caption_type = parse_report(
+            file_name, pages, start_id=next_id,
+            initial_caption_type=caption_type,
+            image_dir_rel=output_dir or "report_output")
+        anns.extend(Annotation.from_dict(a) for a in raw)
+        if output_dir:
+            for image_name, data in to_save:
+                if data is not None:
+                    with open(os.path.join(output_dir, image_name), "wb") as f:
+                        f.write(data)
+    if out_path:
+        save_annotations(out_path, anns)
+    return anns
 
 
 def image_name_correction(json_path: str) -> None:

@@ -83,9 +83,11 @@ def resize_bicubic_pil(img, out_h: int, out_w: int):
 
 
 def center_crop(img, size: int):
+    # torchvision CenterCrop rounds the margin (int(round(m/2)), not m//2):
+    # an odd margin like 75 crops at 38, not 37.
     h, w = img.shape[-3], img.shape[-2]
-    top = (h - size) // 2
-    left = (w - size) // 2
+    top = int(round((h - size) / 2.0))
+    left = int(round((w - size) / 2.0))
     return img[..., top: top + size, left: left + size, :]
 
 
@@ -165,7 +167,7 @@ def pil_reference_preprocess(pil_img, size: int = 224,
         th, tw = max(size, int(round(h * size / w))), size
     img = pil_img.convert("RGB").resize((tw, th), Image.BICUBIC)
     arr = np.asarray(img, dtype=np.float32) / 255.0
-    top = (th - size) // 2
-    left = (tw - size) // 2
+    top = int(round((th - size) / 2.0))
+    left = int(round((tw - size) / 2.0))
     arr = arr[top: top + size, left: left + size, :]
     return ((arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)).astype(np.float32)

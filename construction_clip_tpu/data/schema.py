@@ -16,6 +16,10 @@ ANNOTATION_KEYS = ("id", "caption_type", "violation_type", "violation_list",
                    "caption", "file_name", "objects")
 
 
+# optional keys emitted only by the PDF-report ETL (reference image.py:171-182)
+OPTIONAL_KEYS = ("report_file_name", "type", "page", "original_caption")
+
+
 @dataclasses.dataclass
 class Annotation:
     id: int
@@ -26,16 +30,20 @@ class Annotation:
     file_name: str = ""
     objects: str = ""
     report_file_name: Optional[str] = None
+    type: Optional[str] = None
+    page: Optional[int] = None
+    original_caption: Optional[str] = None
 
     @staticmethod
     def from_dict(d: dict) -> "Annotation":
         return Annotation(**{k: v for k, v in d.items()
-                             if k in ANNOTATION_KEYS + ("report_file_name",)})
+                             if k in ANNOTATION_KEYS + OPTIONAL_KEYS})
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)
-        if d["report_file_name"] is None:
-            d.pop("report_file_name")
+        for k in OPTIONAL_KEYS:
+            if d[k] is None:
+                d.pop(k)
         return d
 
 

@@ -99,6 +99,58 @@ def text_relevance_scores(R_text_row, tokens_row, eot_index: int) -> np.ndarray:
     return out
 
 
+def text_heatmap_per_char(R_text_b, tokens_row, text: str, tokenizer):
+    """Per-character relevance for one text (reference attention.py:113-133):
+    take the EOT row of R_text over columns 1..EOT-1 (real BPE tokens, SOT and
+    EOT excluded), normalize to sum 1, then group BPE-token scores back onto the
+    source characters (a char may encode to several BPE tokens; their scores sum).
+
+    Returns list[(char, score)] covering as many chars as have token scores.
+    """
+    eot = int(np.asarray(tokens_row).argmax())
+    row = np.asarray(R_text_b, dtype=np.float32)[eot, 1:eot]
+    total = row.sum()
+    scores = row / total if total != 0 else row
+    out = []
+    i = 0
+    for ch in text:
+        n = len(tokenizer.encode(ch))
+        if n == 0:
+            out.append((ch, 0.0))
+            continue
+        if i + n > len(scores):
+            break
+        out.append((ch, float(scores[i: i + n].sum())))
+        i += n
+    return out
+
+
+def render_text_heatmap_html(char_scores, out_path: str, *, title: str = "") -> str:
+    """Write the per-token heatmap HTML the reference produces via captum
+    (reference attention.py:135-143 visualize_text -> test.html). Green intensity
+    encodes positive relevance, red negative — captum's color convention."""
+    spans = []
+    if char_scores:
+        peak = max(abs(s) for _, s in char_scores) or 1.0
+    else:
+        peak = 1.0
+    for ch, s in char_scores:
+        a = min(abs(s) / peak, 1.0)
+        color = (f"hsla(120, 75%, 50%, {a:.3f})" if s >= 0
+                 else f"hsla(0, 75%, 50%, {a:.3f})")
+        label = ch.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        spans.append(
+            f'<mark style="background-color: {color}; line-height: 1.75">'
+            f"{label}</mark>")
+    html = ("<html><head><meta charset='utf-8'></head><body>"
+            f"<div><b>{title}</b></div>"
+            f"<div style='font-size: 20px'>{''.join(spans)}</div>"
+            "</body></html>")
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write(html)
+    return html
+
+
 def decoder_attention_map(gpt_params, gcfg, prompt_embeds, generated_tokens, *,
                           policy=DEFAULT_POLICY):
     """Per-generated-token last-layer decoder attention — the reference's

@@ -165,11 +165,27 @@ def from_hf_state_dict(sd: Mapping, cfg: CLIPConfig):
             "logit_scale": jnp.asarray(float(_np(sd["logit_scale"])), dtype=jnp.float32)}
 
 
-def load_torch_checkpoint(path: str):
-    """Load a .pt state dict (OpenAI JIT archive or plain state_dict) as numpy."""
+def load_torch_checkpoint(path: str, *, allow_pickle: bool = False):
+    """Load a .pt state dict (OpenAI JIT archive or plain state_dict) as numpy.
+
+    Plain state_dicts load with weights_only=True (no arbitrary pickle execution).
+    JIT archives / pickled Modules need full unpickling — that path runs untrusted
+    code from the file, so it is gated behind allow_pickle (or CCTPU_UNSAFE_PICKLE=1).
+    """
+    import os
+
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    allow_pickle = allow_pickle or os.environ.get("CCTPU_UNSAFE_PICKLE") == "1"
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise ValueError(
+                f"{path} is not a plain state_dict; loading it requires full pickle "
+                "execution (arbitrary code from the file). Set CCTPU_UNSAFE_PICKLE=1 "
+                "if you trust this checkpoint.")
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     return {k: _np(v) for k, v in obj.items()}

@@ -34,7 +34,7 @@ def _ln_params(width, dtype):
 def init_clip(key, cfg: CLIPConfig, dtype=jnp.float32):
     kv, kt = jax.random.split(key)
     v, t = cfg.vision, cfg.text
-    kv1, kv2, kv3, kv4 = jax.random.split(kv, 4)
+    kv1, kv2, kv3, kv4, kv5 = jax.random.split(kv, 5)
     kt1, kt2, kt3, kt4 = jax.random.split(kt, 4)
     patch_dim = 3 * v.patch_size * v.patch_size
     vision = {
@@ -43,7 +43,7 @@ def init_clip(key, cfg: CLIPConfig, dtype=jnp.float32):
         "class_emb": (jax.random.normal(kv2, (v.width,)) * (v.width ** -0.5)).astype(dtype),
         "pos_emb": (jax.random.normal(kv3, (v.seq_len, v.width)) * (v.width ** -0.5)).astype(dtype),
         "ln_pre": _ln_params(v.width, dtype),
-        "blocks": init_stack(kv1, v.layers, v.width, dtype=dtype),
+        "blocks": init_stack(kv5, v.layers, v.width, dtype=dtype),
         "ln_post": _ln_params(v.width, dtype),
         "proj": (jax.random.normal(kv4, (v.width, v.embed_dim)) * (v.width ** -0.5)).astype(dtype),
     }

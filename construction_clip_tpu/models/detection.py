@@ -125,24 +125,41 @@ def box_iou(a, b):
     return inter / jnp.maximum(area_a[:, None] + area_b[None] - inter, 1e-6)
 
 
-def nms_mask(boxes, scores, *, iou_threshold: float, max_out: int):
-    """Static-shape NMS: returns (indices [max_out], keep_mask [max_out]).
-    Greedy suppression via fori_loop over the top-max_out candidates."""
+def nms_mask(boxes, scores, *, iou_threshold: float, max_out: int,
+             num_candidates: int | None = None):
+    """Static-shape greedy NMS. Returns (indices [max_out] into boxes, keep_mask
+    [max_out]), survivors compacted to the front in descending-score order.
+
+    Suppression runs over the top `num_candidates` boxes (default: ALL, matching
+    torchvision's nms-then-truncate semantics — survivors beyond the early ones
+    refill the output when high scorers suppress each other); `max_out` only
+    sizes the output."""
     n = boxes.shape[0]
-    order = jnp.argsort(-scores)
+    k = n if num_candidates is None else min(num_candidates, n)
+    order = jnp.argsort(-scores)[:k]
     boxes_s = boxes[order]
     scores_s = scores[order]
-    k = min(max_out, n)
-    iou = box_iou(boxes_s[:k], boxes_s[:k])
+    iou = box_iou(boxes_s, boxes_s)
 
     def body(i, alive):
         # if candidate i is alive, kill all j>i with IoU > threshold
         kill = (iou[i] > iou_threshold) & (jnp.arange(k) > i) & alive[i]
         return alive & ~kill
 
-    alive = jnp.ones((k,), bool) & (scores_s[:k] > -jnp.inf)
+    alive = jnp.ones((k,), bool) & (scores_s > -jnp.inf)
     alive = jax.lax.fori_loop(0, k, body, alive)
-    return order[:k], alive
+
+    m = min(max_out, k)
+    rank = jnp.cumsum(alive) - 1                    # survivor rank per candidate
+    slot = jnp.where(alive & (rank < m), rank, m)   # dead / overflow -> sentinel
+    compact = jnp.zeros((m + 1,), jnp.int32).at[slot].set(
+        jnp.arange(k, dtype=jnp.int32))
+    idx = order[compact[:m]]
+    keep = jnp.arange(m) < jnp.minimum(jnp.sum(alive), m)
+    if m < max_out:
+        idx = jnp.pad(idx, (0, max_out - m))
+        keep = jnp.pad(keep, (0, max_out - m))
+    return idx, keep
 
 
 # ------------------------------------------------------------------- ROIAlign
@@ -151,7 +168,9 @@ def roi_align(feat, boxes, *, out_size: int = 7, spatial_scale: float,
               sampling_ratio: int = 2):
     """feat [H,W,C]; boxes [N,4] xyxy in image coords -> [N, out, out, C].
     Bilinear sampling on a sampling_ratio x sampling_ratio grid per output bin,
-    averaged — torchvision roi_align (aligned=False)."""
+    averaged — torchvision roi_align with aligned=False (the Detectron-legacy
+    convention the detection models are trained with: no half-pixel offset,
+    sample coords clamped at 0, points outside [-1, size] contribute zero)."""
     H, W, C = feat.shape
     boxes = boxes * spatial_scale
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
@@ -164,20 +183,26 @@ def roi_align(feat, boxes, *, out_size: int = 7, spatial_scale: float,
     # sample offsets within each bin: (i + (j + .5)/s) for j in range(s)
     grid = (jnp.arange(s) + 0.5) / s
 
+    def axis_weights(coords, size):
+        """coords [K] -> (lo_idx, hi_idx, frac, in_range) per torchvision
+        bilinear_interpolate: clamp at 0; rows past size-1 collapse (frac 0);
+        coords < -1 or > size are zeroed."""
+        in_range = (coords >= -1.0) & (coords <= size)
+        c = jnp.clip(coords, 0.0, None)
+        lo = jnp.minimum(jnp.floor(c), size - 1)
+        frac = jnp.where(lo >= size - 1, 0.0, c - lo)
+        lo_i = lo.astype(jnp.int32)
+        hi_i = jnp.minimum(lo_i + 1, size - 1)
+        return lo_i, hi_i, frac, in_range
+
     def sample_box(bx1, by1, bbin_w, bbin_h):
         ys = by1 + (jnp.arange(out_size)[:, None] + grid[None, :]) * bbin_h  # [7,s]
         xs = bx1 + (jnp.arange(out_size)[:, None] + grid[None, :]) * bbin_w
         ys = ys.reshape(-1)  # [7*s]
         xs = xs.reshape(-1)
 
-        y0 = jnp.clip(jnp.floor(ys - 0.5), 0, H - 1)
-        x0 = jnp.clip(jnp.floor(xs - 0.5), 0, W - 1)
-        ly = jnp.clip(ys - 0.5 - y0, 0, 1)
-        lx = jnp.clip(xs - 0.5 - x0, 0, 1)
-        y0i = y0.astype(jnp.int32)
-        x0i = x0.astype(jnp.int32)
-        y1i = jnp.minimum(y0i + 1, H - 1)
-        x1i = jnp.minimum(x0i + 1, W - 1)
+        y0i, y1i, ly, ok_y = axis_weights(ys, H)
+        x0i, x1i, lx, ok_x = axis_weights(xs, W)
 
         # gather 4 corners: [7s, 7s, C] via outer indexing
         f00 = feat[y0i[:, None], x0i[None, :]]
@@ -188,6 +213,7 @@ def roi_align(feat, boxes, *, out_size: int = 7, spatial_scale: float,
         wx = lx[None, :, None]
         val = (f00 * (1 - wy) * (1 - wx) + f01 * (1 - wy) * wx +
                f10 * wy * (1 - wx) + f11 * wy * wx)  # [7s, 7s, C]
+        val = val * (ok_y[:, None] & ok_x[None, :])[..., None]
         val = val.reshape(out_size, s, out_size, s, C)
         return val.mean(axis=(1, 3))  # [7, 7, C]
 
@@ -252,7 +278,7 @@ def fasterrcnn_infer(params, image, *, image_size: int = 800,
     p_feats = fpn_forward(params["fpn"], c_feats)  # P2..P6, batch 1
 
     # ---- RPN over all levels
-    all_scores, all_boxes = [], []
+    all_scores, all_boxes, all_lvls = [], [], []
     for lvl, feat in enumerate(p_feats):
         stride = 4 * (2 ** lvl)
         h, w = feat.shape[1], feat.shape[2]
@@ -271,19 +297,24 @@ def fasterrcnn_infer(params, image, *, image_size: int = 800,
                              clip_hw=(image_size, image_size))
         all_scores.append(top_s)
         all_boxes.append(boxes)
+        all_lvls.append(jnp.full((k,), lvl, jnp.float32))
     scores = jnp.concatenate(all_scores)
     boxes = jnp.concatenate(all_boxes)
+    lvls = jnp.concatenate(all_lvls)
     # drop degenerate boxes
     valid = ((boxes[:, 2] - boxes[:, 0]) > 1e-3) & ((boxes[:, 3] - boxes[:, 1]) > 1e-3)
     scores = jnp.where(valid, scores, -jnp.inf)
-    idx, keep = nms_mask(boxes, scores, iou_threshold=rpn_nms_thresh,
+    # per-LEVEL NMS (torchvision batched_nms semantics: proposals never suppress
+    # across FPN levels) via the coordinate-offset trick
+    nms_boxes = boxes + (lvls * (image_size + 2.0))[:, None]
+    idx, keep = nms_mask(nms_boxes, scores, iou_threshold=rpn_nms_thresh,
                          max_out=post_nms_topk)
     proposals = boxes[idx] * keep[:, None]               # [post_nms_topk, 4]
 
     # ---- ROI heads: FPN level assignment (eq.1: k = 4 + log2(sqrt(area)/224))
     pw = jnp.clip(proposals[:, 2] - proposals[:, 0], 1e-6)
     ph = jnp.clip(proposals[:, 3] - proposals[:, 1], 1e-6)
-    lvl_assign = jnp.clip(jnp.floor(4 + jnp.log2(jnp.sqrt(pw * ph) / 224 + 1e-8)),
+    lvl_assign = jnp.clip(jnp.floor(4 + jnp.log2(jnp.sqrt(pw * ph) / 224 + 1e-6)),
                           2, 5).astype(jnp.int32) - 2     # 0..3 over P2..P5
     pooled = jnp.zeros((proposals.shape[0], 7, 7, p_feats[0].shape[-1]))
     for lvl in range(4):
@@ -307,6 +338,10 @@ def fasterrcnn_infer(params, image, *, image_size: int = 800,
         boxes_c = decode_boxes(deltas_c, proposals, clip_hw=(image_size, image_size))
         scores_c = probs[:, c] * keep_f
         scores_c = jnp.where(scores_c > score_thresh, scores_c, 0.0)
+        # torchvision remove_small_boxes(min_size=1e-2) before the class NMS
+        big = ((boxes_c[:, 2] - boxes_c[:, 0]) >= 1e-2) & \
+              ((boxes_c[:, 3] - boxes_c[:, 1]) >= 1e-2)
+        scores_c = jnp.where(big, scores_c, 0.0)
         idx_c, keep_c = nms_mask(boxes_c, jnp.where(scores_c > 0, scores_c, -jnp.inf),
                                  iou_threshold=box_nms_thresh,
                                  max_out=detections_per_img)

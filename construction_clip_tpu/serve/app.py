@@ -48,7 +48,10 @@ class PredictService:
         self._window = batch_window_ms / 1e3
         self._max_batch = max_batch
         self._pending: list = []  # [(staged_u8, Event, result_slot)]
-        self._pending_lock = threading.Lock()
+        self._cv = threading.Condition()
+        if self._window > 0:
+            threading.Thread(target=self._drain_loop, daemon=True,
+                             name="predict-batcher").start()
 
     def _caption_batch(self, staged_list):
         from construction_clip_tpu.data.preprocess import preprocess_batch
@@ -79,27 +82,41 @@ class PredictService:
 
     def _predict_batched(self, staged):
         done = threading.Event()
-        slot: list = [None]
-        with self._pending_lock:
+        slot: list = [None, None]  # [result, error]
+        with self._cv:
             self._pending.append((staged, done, slot))
-        # every waiter competes for the device lock; whoever holds it drains a
-        # FIFO batch — loop until OUR request was served (it may take several
-        # drains when more than max_batch requests are queued ahead).
-        while not done.is_set():
-            with self._lock:
-                if done.is_set():
-                    break
+            self._cv.notify()
+        done.wait()
+        if slot[1] is not None:
+            raise slot[1]
+        return slot[0]
+
+    def _drain_loop(self):
+        """Dedicated batcher: the coalescence window elapses with NO lock held
+        (requests keep queueing and the non-batched path stays free); a full
+        backlog skips the window entirely so the device never idles."""
+        while True:
+            with self._cv:
+                while not self._pending:
+                    self._cv.wait()
+                backlog_full = len(self._pending) >= self._max_batch
+            if not backlog_full:
                 time.sleep(self._window)  # let concurrent requests pile up
-                with self._pending_lock:
-                    batch = self._pending[: self._max_batch]
-                    self._pending = self._pending[self._max_batch:]
-                if not batch:
-                    continue
-                preds = self._caption_batch([b[0] for b in batch])
+            with self._cv:
+                batch = self._pending[: self._max_batch]
+                self._pending = self._pending[self._max_batch:]
+            if not batch:
+                continue
+            try:
+                with self._lock:
+                    preds = self._caption_batch([b[0] for b in batch])
                 for (_, ev, sl), p in zip(batch, preds):
                     sl[0] = p
                     ev.set()
-        return slot[0]
+            except Exception as e:  # propagate to every waiter, keep serving
+                for _, ev, sl in batch:
+                    sl[1] = e
+                    ev.set()
 
 
 def _parse_multipart(body: bytes, content_type: str) -> Optional[tuple[str, bytes]]:

@@ -137,7 +137,7 @@ def detection_loss(params, batch: DetectionBatch, key, *, image_size: int,
         max_gt = gt_boxes.shape[0]
         pw = jnp.clip(gt_boxes[:, 2] - gt_boxes[:, 0], 1e-6)
         ph = jnp.clip(gt_boxes[:, 3] - gt_boxes[:, 1], 1e-6)
-        lvl = jnp.clip(jnp.floor(4 + jnp.log2(jnp.sqrt(pw * ph) / 224 + 1e-8)),
+        lvl = jnp.clip(jnp.floor(4 + jnp.log2(jnp.sqrt(pw * ph) / 224 + 1e-6)),
                        2, 5).astype(jnp.int32) - 2
         pooled = jnp.zeros((max_gt, 7, 7, p_feats[0].shape[-1]))
         for l in range(4):

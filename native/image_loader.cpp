@@ -94,6 +94,10 @@ int cctpu_decode_resize_crop(const uint8_t* data, long len, int out_size,
   if (out_size <= 0) return -2;
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
+  // Declared BEFORE setjmp: longjmp skips destructors of anything constructed
+  // after it, so the decode buffers must already be in scope when the error
+  // branch returns (their destructors then run at normal scope exit).
+  std::vector<uint8_t> full, rowbuf, scaled;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   if (setjmp(jerr.jump)) {
@@ -126,8 +130,8 @@ int cctpu_decode_resize_crop(const uint8_t* data, long len, int out_size,
     }
   }
 
-  std::vector<uint8_t> full(static_cast<size_t>(w) * h * 3);
-  std::vector<uint8_t> rowbuf(static_cast<size_t>(w) * comps);
+  full.resize(static_cast<size_t>(w) * h * 3);
+  rowbuf.resize(static_cast<size_t>(w) * comps);
   JSAMPROW rowptr = rowbuf.data();
   for (int y = 0; y < h; ++y) {
     jpeg_read_scanlines(&cinfo, &rowptr, 1);
@@ -154,7 +158,7 @@ int cctpu_decode_resize_crop(const uint8_t* data, long len, int out_size,
     th = std::max(out_size, static_cast<int>(
         (static_cast<long>(h) * out_size + w / 2) / w));
   }
-  std::vector<uint8_t> scaled(static_cast<size_t>(tw) * th * 3);
+  scaled.resize(static_cast<size_t>(tw) * th * 3);
   box_resize(full.data(), w, h, scaled.data(), tw, th);
 
   const int top = (th - out_size) / 2;

@@ -76,3 +76,33 @@ def test_unicode_text(tok):
     # Chinese goes through the byte fallback — must roundtrip
     ids = tok.encode("墜落")
     assert tok.decode(ids) == "墜落"
+
+
+def test_tokenize_accepts_generator(tok):
+    # a one-shot iterable must not be consumed twice (regression: generators
+    # used to yield an all-zero [0, L] array)
+    gen_arr = tok.tokenize(t for t in ["hello", "ow"])
+    list_arr = tok.tokenize(["hello", "ow"])
+    np.testing.assert_array_equal(gen_arr, list_arr)
+    assert gen_arr.shape[0] == 2
+
+
+def test_openai_default_merge_count(tmp_path):
+    """With a standard-size merges file (1 header + >=48894 merge lines) the default
+    slice keeps exactly 49152-256-2 = 48894 merges, so vocab is 49408 and
+    sot/eot land on 49406/49407 — the ids the pretrained OpenAI/HF text towers
+    were trained with (embedding table rows must line up)."""
+    lines = ["bpe version header"]
+    # synthetic but well-formed merge lines, more than the slice keeps
+    b2u = byte_to_unicode()
+    syms = list(b2u.values())
+    n_lines = 48894 + 50
+    for i in range(n_lines):
+        a, b = syms[i % len(syms)], syms[(i * 7 + 1) % len(syms)]
+        lines.append(f"{a}{i} {b}</w>")
+    p = tmp_path / "merges.txt"
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    tok = ClipTokenizer(str(p))
+    assert tok.vocab_size == 49408
+    assert tok.sot == 49406
+    assert tok.eot == 49407

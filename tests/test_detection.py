@@ -90,9 +90,11 @@ def test_roi_align_constant_region():
 
     ramp = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :, None], (H, W, 1))
     out = np.asarray(roi_align(ramp, boxes, spatial_scale=1.0))[0, 0, :, 0]
-    # bin centers along x: x1 + (i+0.5)*bin_w, feature value = x - 0.5
+    # aligned=False (torchvision detection convention): pixel centers sit at
+    # integer coords, so bilinear at x returns the ramp value x itself; bin
+    # centers along x: x1 + (i+0.5)*bin_w
     bin_w = 8.0 / 7
-    expect = 2.0 + (np.arange(7) + 0.5) * bin_w - 0.5
+    expect = 2.0 + (np.arange(7) + 0.5) * bin_w
     np.testing.assert_allclose(out, expect, rtol=1e-5)
 
 
@@ -110,23 +112,25 @@ def test_end_to_end_infer_contract(rng):
     assert (np.diff(s) <= 1e-6).all()  # sorted desc
 
 
-def test_converter_layout(rng):
-    """Synthetic torchvision-named state dict (new Conv2dNormActivation naming)
-    converts and runs."""
+def _synthetic_tv_state_dict(seed: int = 3):
+    """Torchvision-named fasterrcnn_resnet50_fpn state dict (new
+    Conv2dNormActivation naming) with random weights — the offline stand-in for
+    `fasterrcnn_resnet50_fpn(weights=None)` (torchvision is not in this image)."""
     import torch
 
     from construction_clip_tpu.models.resnet import STAGES
 
+    torch.manual_seed(seed)
     sd = {}
-    # resnet body
+
     def conv(o, i, k):
-        return torch.randn(o, i, k, k) * 0.01
+        return torch.randn(o, i, k, k) * 0.03
 
     def bn(prefix, c):
-        sd[f"{prefix}.weight"] = torch.ones(c)
-        sd[f"{prefix}.bias"] = torch.zeros(c)
-        sd[f"{prefix}.running_mean"] = torch.zeros(c)
-        sd[f"{prefix}.running_var"] = torch.ones(c)
+        sd[f"{prefix}.weight"] = torch.ones(c) + torch.randn(c) * 0.05
+        sd[f"{prefix}.bias"] = torch.randn(c) * 0.05
+        sd[f"{prefix}.running_mean"] = torch.randn(c) * 0.05
+        sd[f"{prefix}.running_var"] = torch.ones(c) + torch.rand(c) * 0.1
 
     sd["backbone.body.conv1.weight"] = conv(64, 3, 7)
     bn("backbone.body.bn1", 64)
@@ -164,11 +168,250 @@ def test_converter_layout(rng):
     sd["roi_heads.box_predictor.bbox_pred.weight"] = torch.randn(32, 1024) * 0.01
     sd["roi_heads.box_predictor.bbox_pred.bias"] = torch.zeros(32)
 
+    return sd
+
+
+def test_converter_layout():
+    """Synthetic torchvision-named state dict (new Conv2dNormActivation naming)
+    converts and runs."""
+    sd = _synthetic_tv_state_dict()
     params = from_torchvision_state_dict(sd, num_classes=8)
     img = jnp.zeros((224, 224, 3))
     det = fasterrcnn_infer(params, img, image_size=224, pre_nms_topk=50,
                            post_nms_topk=20, detections_per_img=5)
     assert det.boxes.shape == (5, 4)
+
+
+# ------------------------------------------------------ full-forward parity ref
+
+def _np_greedy_nms(boxes, scores, thresh):
+    """Plain numpy greedy NMS over ALL candidates; returns kept indices in
+    descending-score order (torchvision nms contract)."""
+    order = np.argsort(-scores)
+    kept = []
+    suppressed = np.zeros(len(scores), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        kept.append(i)
+        bi = boxes[i]
+        for j in order:
+            if suppressed[j] or j == i:
+                continue
+            xx1 = max(bi[0], boxes[j][0]); yy1 = max(bi[1], boxes[j][1])
+            xx2 = min(bi[2], boxes[j][2]); yy2 = min(bi[3], boxes[j][3])
+            inter = max(0.0, xx2 - xx1) * max(0.0, yy2 - yy1)
+            a1 = (bi[2] - bi[0]) * (bi[3] - bi[1])
+            a2 = (boxes[j][2] - boxes[j][0]) * (boxes[j][3] - boxes[j][1])
+            if inter / max(a1 + a2 - inter, 1e-6) > thresh:
+                suppressed[j] = True
+    return kept
+
+
+def _np_decode(deltas, anchors, size):
+    ax = (anchors[:, 0] + anchors[:, 2]) / 2
+    ay = (anchors[:, 1] + anchors[:, 3]) / 2
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    dw = np.minimum(deltas[:, 2], np.log(1000.0 / 16))
+    dh = np.minimum(deltas[:, 3], np.log(1000.0 / 16))
+    cx = deltas[:, 0] * aw + ax
+    cy = deltas[:, 1] * ah + ay
+    w = np.exp(dw) * aw
+    h = np.exp(dh) * ah
+    b = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+    return np.clip(b, 0, size)
+
+
+def _np_roi_align(feat_hwc, boxes, scale, out=7, sr=2):
+    """Independent numpy roi_align, aligned=False, per the torchvision kernel."""
+    H, W, C = feat_hwc.shape
+
+    def bilinear(y, x):
+        if y < -1.0 or y > H or x < -1.0 or x > W:
+            return np.zeros(C, np.float32)
+        y = max(y, 0.0); x = max(x, 0.0)
+        y0 = int(y); x0 = int(x)
+        if y0 >= H - 1:
+            y0 = H - 1; y = float(y0)
+        if x0 >= W - 1:
+            x0 = W - 1; x = float(x0)
+        y1 = min(y0 + 1, H - 1); x1 = min(x0 + 1, W - 1)
+        ly = y - y0; lx = x - x0
+        return (feat_hwc[y0, x0] * (1 - ly) * (1 - lx) +
+                feat_hwc[y0, x1] * (1 - ly) * lx +
+                feat_hwc[y1, x0] * ly * (1 - lx) +
+                feat_hwc[y1, x1] * ly * lx)
+
+    res = np.zeros((len(boxes), out, out, C), np.float32)
+    for n, box in enumerate(np.asarray(boxes) * scale):
+        x1, y1, x2, y2 = box
+        bw = max(x2 - x1, 1.0) / out
+        bh = max(y2 - y1, 1.0) / out
+        for i in range(out):
+            for j in range(out):
+                acc = np.zeros(C, np.float32)
+                for iy in range(sr):
+                    for ix in range(sr):
+                        yy = y1 + i * bh + (iy + 0.5) * bh / sr
+                        xx = x1 + j * bw + (ix + 0.5) * bw / sr
+                        acc += bilinear(yy, xx)
+                res[n, i, j] = acc / (sr * sr)
+    return res
+
+
+def _torch_ref_detector(sd, img01, *, image_size, pre_nms, post_nms, det_per_img,
+                        num_classes=8, rpn_nms=0.7, box_nms=0.5,
+                        score_thresh=0.05):
+    """Independent full-forward Faster R-CNN reference: torch-core convs for the
+    backbone/FPN/RPN heads + numpy proposal filtering / ROIAlign / box head,
+    following torchvision GeneralizedRCNN inference semantics step by step
+    (the reference serves exactly that model, reference application.py:13-25)."""
+    import torch
+    import torch.nn.functional as F
+
+    from construction_clip_tpu.models.detection import IMAGE_MEAN, IMAGE_STD
+    from construction_clip_tpu.models.resnet import STAGES
+
+    def t(k):
+        return sd[k].float()
+
+    def cb(x, wk, bnp, stride=1):
+        w = t(wk)
+        x = F.conv2d(x, w, stride=stride, padding=w.shape[-1] // 2)
+        g, b = t(bnp + ".weight"), t(bnp + ".bias")
+        m, v = t(bnp + ".running_mean"), t(bnp + ".running_var")
+        s = g / torch.sqrt(v + 1e-5)
+        return x * s[None, :, None, None] + (b - m * s)[None, :, None, None]
+
+    with torch.no_grad():
+        x = (torch.from_numpy(img01).float() - torch.tensor(IMAGE_MEAN)) \
+            / torch.tensor(IMAGE_STD)
+        x = x.permute(2, 0, 1)[None]
+        x = F.relu(cb(x, "backbone.body.conv1.weight", "backbone.body.bn1", 2))
+        x = F.max_pool2d(x, 3, 2, 1)
+        cs = []
+        for s_i, n in enumerate(STAGES):
+            for b_i in range(n):
+                pre = f"backbone.body.layer{s_i + 1}.{b_i}"
+                stride = 2 if (s_i > 0 and b_i == 0) else 1
+                out = F.relu(cb(x, pre + ".conv1.weight", pre + ".bn1"))
+                out = F.relu(cb(out, pre + ".conv2.weight", pre + ".bn2", stride))
+                out = cb(out, pre + ".conv3.weight", pre + ".bn3")
+                idn = cb(x, pre + ".downsample.0.weight", pre + ".downsample.1",
+                         stride) if pre + ".downsample.0.weight" in sd else x
+                x = F.relu(out + idn)
+            cs.append(x)
+        lat = [F.conv2d(c, t(f"backbone.fpn.inner_blocks.{i}.0.weight"),
+                        t(f"backbone.fpn.inner_blocks.{i}.0.bias"))
+               for i, c in enumerate(cs)]
+        outs = [None] * 4
+        prev = lat[3]
+        outs[3] = prev
+        for i in (2, 1, 0):
+            prev = lat[i] + F.interpolate(prev, size=lat[i].shape[-2:],
+                                          mode="nearest")
+            outs[i] = prev
+        ps = [F.conv2d(o, t(f"backbone.fpn.layer_blocks.{i}.0.weight"),
+                       t(f"backbone.fpn.layer_blocks.{i}.0.bias"), padding=1)
+              for i, o in enumerate(outs)]
+        ps.append(F.max_pool2d(ps[3], 1, 2, 0))
+
+        # RPN: per-level topk -> decode -> clip -> small filter -> per-level NMS
+        cand = []  # (score, box, lvl)
+        for lvl, p_ in enumerate(ps):
+            tt = F.relu(F.conv2d(p_, t("rpn.head.conv.0.0.weight"),
+                                 t("rpn.head.conv.0.0.bias"), padding=1))
+            logits = F.conv2d(tt, t("rpn.head.cls_logits.weight"),
+                              t("rpn.head.cls_logits.bias"))
+            deltas = F.conv2d(tt, t("rpn.head.bbox_pred.weight"),
+                              t("rpn.head.bbox_pred.bias"))
+            logits = logits.permute(0, 2, 3, 1).reshape(-1).numpy()
+            deltas = deltas.permute(0, 2, 3, 1).reshape(-1, 4).numpy()
+            anchors = np.asarray(level_anchors(
+                p_.shape[-2], p_.shape[-1], 4 * 2 ** lvl, ANCHOR_SIZES[lvl]))
+            k = min(pre_nms, len(logits))
+            top = np.argsort(-logits)[:k]
+            boxes = _np_decode(deltas[top], anchors[top], image_size)
+            ok = ((boxes[:, 2] - boxes[:, 0]) > 1e-3) & \
+                 ((boxes[:, 3] - boxes[:, 1]) > 1e-3)
+            for s_, b_ in zip(logits[top][ok], boxes[ok]):
+                cand.append((s_, b_, lvl))
+        proposals = []
+        for lvl in range(5):
+            lb = np.asarray([b for s_, b, l in cand if l == lvl])
+            ls = np.asarray([s_ for s_, b, l in cand if l == lvl])
+            if len(lb) == 0:
+                continue
+            for i in _np_greedy_nms(lb, ls, rpn_nms):
+                proposals.append((ls[i], lb[i]))
+        proposals.sort(key=lambda x: -x[0])
+        prop_boxes = np.asarray([b for _, b in proposals[:post_nms]])
+
+        # ROI heads
+        lvls = np.clip(np.floor(4 + np.log2(
+            np.sqrt(np.maximum((prop_boxes[:, 2] - prop_boxes[:, 0]) *
+                               (prop_boxes[:, 3] - prop_boxes[:, 1]), 1e-12))
+            / 224 + 1e-6)), 2, 5).astype(int) - 2
+        pooled = np.zeros((len(prop_boxes), 7, 7, 256), np.float32)
+        feats_np = [p_.permute(0, 2, 3, 1)[0].numpy() for p_ in ps]
+        for lvl in range(4):
+            rows = np.nonzero(lvls == lvl)[0]
+            if len(rows):
+                pooled[rows] = _np_roi_align(feats_np[lvl], prop_boxes[rows],
+                                             1.0 / (4 * 2 ** lvl))
+        flat = pooled.transpose(0, 3, 1, 2).reshape(len(prop_boxes), -1)
+        h6 = np.maximum(flat @ t("roi_heads.box_head.fc6.weight").numpy().T
+                        + t("roi_heads.box_head.fc6.bias").numpy(), 0)
+        h7 = np.maximum(h6 @ t("roi_heads.box_head.fc7.weight").numpy().T
+                        + t("roi_heads.box_head.fc7.bias").numpy(), 0)
+        cls = h7 @ t("roi_heads.box_predictor.cls_score.weight").numpy().T \
+            + t("roi_heads.box_predictor.cls_score.bias").numpy()
+        reg = h7 @ t("roi_heads.box_predictor.bbox_pred.weight").numpy().T \
+            + t("roi_heads.box_predictor.bbox_pred.bias").numpy()
+        e = np.exp(cls - cls.max(-1, keepdims=True))
+        probs = e / e.sum(-1, keepdims=True)
+
+        dets = []
+        for c in range(1, num_classes):
+            bc = _np_decode(reg[:, c * 4: (c + 1) * 4], prop_boxes, image_size)
+            sc = probs[:, c].copy()
+            sc[sc <= score_thresh] = 0.0
+            sc[((bc[:, 2] - bc[:, 0]) < 1e-2) | ((bc[:, 3] - bc[:, 1]) < 1e-2)] = 0
+            live = np.nonzero(sc > 0)[0]
+            if not len(live):
+                continue
+            for i in _np_greedy_nms(bc[live], sc[live], box_nms):
+                dets.append((sc[live][i], bc[live][i], c))
+        dets.sort(key=lambda x: -x[0])
+        return dets[:det_per_img]
+
+
+def test_full_forward_parity():
+    """END-TO-END detector parity: our jitted fasterrcnn_infer vs the independent
+    torch-core + numpy reference above, same synthetic torchvision weights, same
+    image — final boxes/scores/labels must agree (VERDICT round-1 item 4)."""
+    sd = _synthetic_tv_state_dict(seed=3)
+    params = from_torchvision_state_dict(sd, num_classes=8)
+    rng = np.random.default_rng(5)
+    img = rng.random((224, 224, 3)).astype(np.float32)
+
+    det = fasterrcnn_infer(params, jnp.asarray(img), image_size=224,
+                           pre_nms_topk=200, post_nms_topk=64,
+                           detections_per_img=16)
+    ours = [(float(s), np.asarray(b), int(l))
+            for b, l, s in zip(np.asarray(det.boxes), np.asarray(det.labels),
+                               np.asarray(det.scores)) if s > 0]
+
+    ref = _torch_ref_detector(sd, img, image_size=224, pre_nms=200, post_nms=64,
+                              det_per_img=16)
+
+    assert len(ours) == len(ref), (len(ours), len(ref))
+    assert len(ref) > 0  # the test must actually exercise detections
+    for (s_o, b_o, l_o), (s_r, b_r, l_r) in zip(ours, ref):
+        assert l_o == l_r
+        np.testing.assert_allclose(s_o, s_r, rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(b_o, b_r, rtol=1e-2, atol=0.25)
 
 
 def test_jax_detector_serving_interface(rng):

@@ -94,6 +94,46 @@ def test_interpret_end_to_end(setup):
     assert overlay.shape == (16, 16, 3) and overlay.dtype == np.uint8
 
 
+def test_text_heatmap_per_char(setup, tmp_path):
+    """Per-char grouping of BPE-token relevance (reference attention.py:113-133):
+    EOT-row scores over cols 1..EOT-1 normalized to sum 1, summed per source char;
+    and the HTML renderer emits a file with one <mark> per char."""
+    import os
+
+    from construction_clip_tpu.infer.explain import (
+        text_heatmap_per_char, render_text_heatmap_html)
+
+    params, images, tokens = setup
+    R_text, _ = interpret(params, CFG, images, tokens)
+
+    class OneTokenPerChar:
+        def encode(self, ch):
+            return [1]
+
+    # row 0: EOT at pos 3 -> cols 1..2 are scored -> 2 chars coverable
+    char_scores = text_heatmap_per_char(np.asarray(R_text)[0],
+                                        np.asarray(tokens)[0], "安全",
+                                        OneTokenPerChar())
+    assert len(char_scores) == 2
+    total = sum(s for _, s in char_scores)
+    np.testing.assert_allclose(total, 1.0, rtol=1e-5)
+
+    class TwoTokensPerChar:
+        def encode(self, ch):
+            return [1, 2]
+
+    # 2 BPE tokens per char -> both scores collapse onto ONE char
+    grouped = text_heatmap_per_char(np.asarray(R_text)[0], np.asarray(tokens)[0],
+                                    "安全", TwoTokensPerChar())
+    assert len(grouped) == 1
+    np.testing.assert_allclose(grouped[0][1], total, rtol=1e-5)
+
+    out = str(tmp_path / "text_heat.html")
+    html = render_text_heatmap_html(char_scores, out, title="安全")
+    assert os.path.getsize(out) > 100
+    assert html.count("<mark") == 2 and "安" in html
+
+
 def test_decoder_attention_map(rng, tmp_path):
     """Post-hoc attention rows equal the reference's per-step last-layer capture
     (causality makes them identical); rows are softmax-normalized over the past."""
