@@ -124,12 +124,19 @@ def apply_stack(
     return_probs: bool = False,
     probs_probe=None,
     remat: bool = False,
+    unroll: int | None = None,
 ):
     """Apply L stacked blocks via lax.scan.
 
     With return_probs=True also returns attention probabilities stacked [L, B, H, T, T]
     (the probe mode that powers relevance-propagation explainability).
     probs_probe: zeros [L, B, H, T, T]; grad w.r.t. it = grad w.r.t. per-layer probs.
+
+    unroll: scan unroll factor; None resolves to FULL unroll on TPU (measured on
+    v5e, ViT-B shapes b=128: fwd+bwd 45.1 -> 34.4 ms image / 33.1 -> 24.2 ms text
+    — XLA optimizes layouts across unrolled layers; PARTIAL unroll (2/4) is
+    pathologically WORSE than no unroll, so only 1 or L are sane values) and no
+    unroll elsewhere.
     """
 
     def body(carry, layer):
@@ -147,8 +154,11 @@ def apply_stack(
 
     if remat:
         body = jax.checkpoint(body)
+    if unroll is None:
+        n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
+        unroll = n_layers if jax.default_backend() == "tpu" else 1
     xs = (stacked_params, probs_probe) if probs_probe is not None else stacked_params
-    x, probs = jax.lax.scan(body, x, xs)
+    x, probs = jax.lax.scan(body, x, xs, unroll=unroll)
     if return_probs:
         return x, probs
     return x

@@ -75,27 +75,24 @@ def init_gpt2(key, cfg: GPT2Config, dtype=jnp.float32):
     }
 
 
-def _attn_with_cache(q, k, v, layer_cache, cache_len, attn_bias,
-                     return_probs: bool = False):
-    """q,k,v: [B,H,T,Dh] new positions. With a cache, writes k/v at cache_len and
-    attends over the full static cache window with validity+causal masking."""
-    if layer_cache is None:
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        logits *= q.shape[-1] ** -0.5
-        t = q.shape[2]
-        q_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
-        k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-        logits = jnp.where(q_pos >= k_pos, logits, jnp.finfo(jnp.float32).min)
-        if attn_bias is not None:
-            logits = logits + attn_bias.astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32).astype(q.dtype)
-        return out, (probs if return_probs else None), None
+def _attn_uncached(q, k, v, attn_bias, return_probs: bool = False):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits *= q.shape[-1] ** -0.5
+    t = q.shape[2]
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    logits = jnp.where(q_pos >= k_pos, logits, jnp.finfo(jnp.float32).min)
+    if attn_bias is not None:
+        logits = logits + attn_bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out, (probs if return_probs else None)
 
-    ck, cv = layer_cache  # [B, H, T_max, Dh]
-    ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_len, 0))
-    cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_len, 0))
+
+def _attn_over_cache(q, ck, cv, cache_len, attn_bias):
+    """q [B,H,t,Dh] over the (already-updated) full cache window [B,H,T_max,Dh]
+    with validity+causal masking."""
     t_new = q.shape[2]
     t_max = ck.shape[2]
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, ck.astype(q.dtype),
@@ -107,9 +104,8 @@ def _attn_with_cache(q, k, v, layer_cache, cache_len, attn_bias,
     if attn_bias is not None:
         logits = logits + attn_bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), cv.astype(q.dtype),
-                     preferred_element_type=jnp.float32).astype(q.dtype)
-    return out, ck, cv
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), cv.astype(q.dtype),
+                      preferred_element_type=jnp.float32).astype(q.dtype)
 
 
 def gpt2_forward(
@@ -145,37 +141,56 @@ def gpt2_forward(
 
     n_heads = cfg.n_head
 
-    def body(carry, layer):
+    if cache is not None:
+        # Cache rides the scan CARRY and is updated in place: each layer writes
+        # only its t new (k, v) rows via dynamic_update_slice on the carried
+        # [L,B,H,T_max,Dh] buffers (XLA aliases scan/while carries, so per decode
+        # step the HBM writes are ~L*B*H*t*Dh elements, not a full cache copy —
+        # the difference between ~13% and roofline HBM utilization at B=32).
+        def body(carry, lp):
+            h, ck_all, cv_all, l = carry
+            y = layer_norm(h, **lp["ln_1"], eps=cfg.layer_norm_epsilon)
+            qkv = y @ lp["attn"]["c_attn_w"] + lp["attn"]["c_attn_b"]
+            q, k, v = (split_heads(z, n_heads) for z in jnp.split(qkv, 3, axis=-1))
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, k.astype(ck_all.dtype)[None], (l, 0, 0, start, 0))
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, v.astype(cv_all.dtype)[None], (l, 0, 0, start, 0))
+            ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
+            out = _attn_over_cache(q, ck, cv, start, attn_bias)
+            h = h + merge_heads(out) @ lp["attn"]["c_proj_w"] + lp["attn"]["c_proj_b"]
+            y = layer_norm(h, **lp["ln_2"], eps=cfg.layer_norm_epsilon)
+            y = gelu_new(y @ lp["mlp"]["c_fc_w"] + lp["mlp"]["c_fc_b"])
+            h = h + y @ lp["mlp"]["c_proj_w"] + lp["mlp"]["c_proj_b"]
+            return (h, ck_all, cv_all, l + 1), None
+
+        if remat:
+            body = jax.checkpoint(body)
+        (x, nk, nv, _), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v, jnp.zeros((), jnp.int32)), p["blocks"])
+        x = layer_norm(x, **p["ln_f"], eps=cfg.layer_norm_epsilon)
+        logits = (x @ p["wte"].T).astype(jnp.float32)
+        return logits, KVCache(k=nk, v=nv, length=cache.length + t)
+
+    def body(carry, lp):
         h = carry
-        if cache is not None:
-            lp, ck, cv = layer
-        else:
-            lp = layer
         y = layer_norm(h, **lp["ln_1"], eps=cfg.layer_norm_epsilon)
         qkv = y @ lp["attn"]["c_attn_w"] + lp["attn"]["c_attn_b"]
         q, k, v = (split_heads(z, n_heads) for z in jnp.split(qkv, 3, axis=-1))
-        out, nk, nv = _attn_with_cache(
-            q, k, v,
-            (ck, cv) if cache is not None else None,
-            start, attn_bias, return_probs=return_probs and cache is None)
+        out, probs = _attn_uncached(q, k, v, attn_bias, return_probs=return_probs)
         h = h + merge_heads(out) @ lp["attn"]["c_proj_w"] + lp["attn"]["c_proj_b"]
         y = layer_norm(h, **lp["ln_2"], eps=cfg.layer_norm_epsilon)
         y = gelu_new(y @ lp["mlp"]["c_fc_w"] + lp["mlp"]["c_fc_b"])
         h = h + y @ lp["mlp"]["c_proj_w"] + lp["mlp"]["c_proj_b"]
-        if cache is not None:
-            return h, (nk, nv)
-        return h, (nk if return_probs else None)
+        return h, probs
 
     if remat:
         body = jax.checkpoint(body)
-    xs = (p["blocks"], cache.k, cache.v) if cache is not None else p["blocks"]
-    x, ys = jax.lax.scan(body, x, xs)
+    x, ys = jax.lax.scan(body, x, p["blocks"])
 
     x = layer_norm(x, **p["ln_f"], eps=cfg.layer_norm_epsilon)
     logits = (x @ p["wte"].T).astype(jnp.float32)
-    if cache is not None:
-        nk, nv = ys
-        return logits, KVCache(k=nk, v=nv, length=cache.length + t)
     if return_probs:
         return logits, ys  # ys = probs [L, B, H, T, T]
     return logits, None

@@ -244,34 +244,18 @@ def t5_decode(params, cfg: T5Config, decoder_input_ids, encoder_hidden, *,
     def merge(z):
         return z.transpose(0, 2, 1, 3).reshape(b, -1, h * dk)
 
-    def body(carry, layer):
-        hid = carry
-        if cache is not None:
-            bp, ck, cv, xk, xv = layer
-        else:
-            bp = layer
-        # self attention
-        y = rms_norm(hid, bp["ln_self"], eps=cfg.layer_norm_epsilon)
-        q = heads(y @ bp["self_attn"]["q"])
-        k = heads(y @ bp["self_attn"]["k"])
-        v = heads(y @ bp["self_attn"]["v"])
-        if cache is not None:
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, start, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, start, 0))
-            k, v = ck.astype(q.dtype), cv.astype(q.dtype)
+    def self_attn(hid, bp, k, v):
+        q = heads(rms_norm(hid, bp["ln_self"], eps=cfg.layer_norm_epsilon)
+                  @ bp["self_attn"]["q"])
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
         logits = logits + self_bias
         probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         att = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                          preferred_element_type=jnp.float32).astype(q.dtype)
-        hid = hid + merge(att) @ bp["self_attn"]["o"]
-        # cross attention
+        return hid + merge(att) @ bp["self_attn"]["o"]
+
+    def cross_and_ffn(hid, bp, kx, vx):
         y = rms_norm(hid, bp["ln_cross"], eps=cfg.layer_norm_epsilon)
-        if cache is not None:
-            kx, vx = xk.astype(y.dtype), xv.astype(y.dtype)
-        else:
-            kx = heads(encoder_hidden.astype(y.dtype) @ bp["cross_attn"]["k"])
-            vx = heads(encoder_hidden.astype(y.dtype) @ bp["cross_attn"]["v"])
         qx = heads(y @ bp["cross_attn"]["q"])
         logits = jnp.einsum("bhqd,bhkd->bhqk", qx, kx, preferred_element_type=jnp.float32)
         if cross_bias is not None:
@@ -280,27 +264,55 @@ def t5_decode(params, cfg: T5Config, decoder_input_ids, encoder_hidden, *,
         att = jnp.einsum("bhqk,bhkd->bhqd", probs, vx,
                          preferred_element_type=jnp.float32).astype(qx.dtype)
         hid = hid + merge(att) @ bp["cross_attn"]["o"]
-        # ffn
         y = rms_norm(hid, bp["ln_ffn"], eps=cfg.layer_norm_epsilon)
-        hid = hid + _ffn(y, bp["ffn"])
-        if cache is not None:
-            return hid, (ck, cv)
-        return hid, None
+        return hid + _ffn(y, bp["ffn"])
 
-    xs = (p["decoder"], cache.k, cache.v, cache.cross_k, cache.cross_v) \
-        if cache is not None else p["decoder"]
-    x, kv = jax.lax.scan(body, x, xs)
+    if cache is not None:
+        # Self-attn KV cache rides the scan CARRY (in-place row writes via
+        # dynamic_update_slice on the aliased carry buffers — see gpt2.py);
+        # the read-only cross K/V are scanned per layer as xs.
+        def body(carry, layer):
+            hid, k_all, v_all, l = carry
+            bp, xk, xv = layer
+            y = rms_norm(hid, bp["ln_self"], eps=cfg.layer_norm_epsilon)
+            k = heads(y @ bp["self_attn"]["k"])
+            v = heads(y @ bp["self_attn"]["v"])
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k.astype(k_all.dtype)[None], (l, 0, 0, start, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v.astype(v_all.dtype)[None], (l, 0, 0, start, 0))
+            ck = jax.lax.dynamic_index_in_dim(k_all, l, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(v_all, l, 0, keepdims=False)
+            q_dtype = y.dtype
+            hid = self_attn(hid, bp, ck.astype(q_dtype), cv.astype(q_dtype))
+            hid = cross_and_ffn(hid, bp, xk.astype(q_dtype), xv.astype(q_dtype))
+            return (hid, k_all, v_all, l + 1), None
+
+        (x, nk, nv, _), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v, jnp.zeros((), jnp.int32)),
+            (p["decoder"], cache.cross_k, cache.cross_v))
+        new_cache = T5Cache(k=nk, v=nv, cross_k=cache.cross_k,
+                            cross_v=cache.cross_v, length=cache.length + t)
+    else:
+        def body(hid, bp):
+            y = rms_norm(hid, bp["ln_self"], eps=cfg.layer_norm_epsilon)
+            k = heads(y @ bp["self_attn"]["k"])
+            v = heads(y @ bp["self_attn"]["v"])
+            hid = self_attn(hid, bp, k, v)
+            kx = heads(encoder_hidden.astype(y.dtype) @ bp["cross_attn"]["k"])
+            vx = heads(encoder_hidden.astype(y.dtype) @ bp["cross_attn"]["v"])
+            hid = cross_and_ffn(hid, bp, kx, vx)
+            return hid, None
+
+        x, _ = jax.lax.scan(body, x, p["decoder"])
+        new_cache = None
+
     x = rms_norm(x, p["dec_final_ln"], eps=cfg.layer_norm_epsilon)
     if cfg.tie_word_embeddings:
         x = x * (cfg.d_model ** -0.5)
         logits = (x @ p["shared"].T).astype(jnp.float32)
     else:
         logits = (x @ p["lm_head"]).astype(jnp.float32)
-    new_cache = None
-    if cache is not None:
-        nk, nv = kv
-        new_cache = T5Cache(k=nk, v=nv, cross_k=cache.cross_k, cross_v=cache.cross_v,
-                            length=cache.length + t)
     return logits, new_cache
 
 

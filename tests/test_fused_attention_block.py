@@ -59,6 +59,31 @@ def test_gradients_match(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_gradients_match_multi_tile(causal, rng):
+    """b=16 -> two grid steps: exercises the in-kernel dLN accumulation across
+    the sequential grid, plus the causal backward."""
+    D, H = 32, 2
+    params = init_block(jax.random.key(2), D)
+    x = jnp.asarray(rng.standard_normal((16, 8, D)).astype(np.float32))
+
+    def loss_fused(x, p):
+        return jnp.sum(fab.fused_attention_block(x, p["ln_1"], p["attn"],
+                                                 n_heads=H, causal=causal) ** 2)
+
+    def loss_ref(x, p):
+        return jnp.sum(fab._ref_math(
+            x, p["ln_1"]["scale"], p["ln_1"]["bias"], p["attn"]["w_qkv"],
+            p["attn"]["b_qkv"], p["attn"]["w_out"], p["attn"]["b_out"],
+            H, causal, 1e-5) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=2e-4)
+
+
 def test_supported_gates():
     assert fab.supported(jnp.zeros((4, 12, 32)), 2)
     assert not fab.supported(jnp.zeros((4, 12, 33)), 2)      # heads don't divide
