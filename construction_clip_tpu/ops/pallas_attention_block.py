@@ -101,10 +101,15 @@ def _fused_bwd(n_heads, causal, eps, res, g):
     if not supported(x, n_heads):
         _, vjp = jax.vjp(lambda *a: _ref_math(*a, n_heads, causal, eps), *res)
         return vjp(g)
-    dx, h, dqkv, merged, dlns, dlnb = _backward(
+    dx, dqkv, merged, dlns, dlnb = _backward(
         x, g, ln_s, ln_b, wqkv, bqkv, wout, n_heads, causal, eps)
     f32 = jnp.float32
-    # weight grads: two large GEMMs over the staged operands — XLA territory
+    # weight grads: two large GEMMs over the staged operands — XLA territory.
+    # h is recomputed here (elementwise LN, fuses into the GEMM prologue) instead
+    # of staged from the kernel: saves a double-buffered [bt,T,D] output block,
+    # which is what lets the kernel run at a 2x larger batch tile.
+    from construction_clip_tpu.ops.norms import layer_norm
+    h = layer_norm(x, ln_s, ln_b, eps=eps).astype(x.dtype)
     dwqkv = jnp.einsum("btd,bte->de", h, dqkv,
                        preferred_element_type=f32).astype(wqkv.dtype)
     dbqkv = jnp.sum(dqkv.astype(f32), axis=(0, 1)).astype(bqkv.dtype)
@@ -139,7 +144,7 @@ def supported(x, n_heads: int) -> bool:
 
 
 def _bwd_kernel(x_ref, g_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wout_ref,
-                dx_ref, h_ref, dqkv_ref, merged_ref, dlns_ref, dlnb_ref,
+                dx_ref, dqkv_ref, merged_ref, dlns_ref, dlnb_ref,
                 *, n_heads: int, causal: bool, eps: float):
     """Per batch tile: recompute LN/QKV/probs, backprop through attention chain
     and LN; stage h/dqkv/merged for the outside weight-grad GEMMs."""
@@ -157,7 +162,6 @@ def _bwd_kernel(x_ref, g_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wout_ref,
     xhat = (x32 - mean) * rstd
     ln_s = ln_s_ref[:].astype(jnp.float32)
     h = (xhat * ln_s + ln_b_ref[:].astype(jnp.float32)).astype(dtype)
-    h_ref[:] = h
     qkv = jax.lax.dot_general(
         h, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dtype) + bqkv_ref[:]
@@ -236,17 +240,20 @@ def _bwd_kernel(x_ref, g_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wout_ref,
 
 def _bwd_batch_tile(b: int, t: int, d: int, itemsize: int) -> int:
     """Largest batch tile whose bwd working set fits VMEM. The estimate
-    (double-buffered in/out tiles + resident weights + fp32 temps) reproduces the
-    compiler's measured 20.05 MB at (8, 77, 512) bf16, so the 13 MB budget leaves
-    real headroom under the 16 MB scoped limit."""
+    (double-buffered in/out tiles + resident weights + fp32 temps) reproduced the
+    compiler's measured 20.05 MB within 2% on the shape that OOM'd, so a 15 MiB
+    budget is safe under the 16 MiB scoped limit. Tile size is the main MXU
+    occupancy lever here: bt=2 leaves the 128-row systolic array ~3/4 idle on
+    the per-head [bt*T, T] matmuls."""
     tp = -(-t // 16) * 16
     weights = (3 * d * d + d * d) * itemsize
     for bt in (8, 4, 2, 1):
         if b % bt:
             continue
-        tiles = 2 * (5 * bt * tp * d + bt * tp * 3 * d) * itemsize
-        temps = 5 * bt * tp * d * 4 + 3 * bt * tp * tp * 4
-        if weights + tiles + temps <= 13 * 1024 * 1024:
+        # in: x, g; out: dx, merged (d wide) + dqkv (3d wide); double-buffered
+        tiles = 2 * (4 * bt * tp * d + bt * tp * 3 * d) * itemsize
+        temps = 4 * bt * tp * d * 4 + 3 * bt * tp * tp * 4
+        if weights + tiles + temps <= 15 * 1024 * 1024:
             return bt
     return 1
 
@@ -264,7 +271,6 @@ def _backward(x, g, ln_s, ln_b, wqkv, bqkv, wout, n_heads, causal, eps):
         functools.partial(_bwd_kernel, n_heads=n_heads, causal=causal, eps=eps),
         out_shape=(
             jax.ShapeDtypeStruct((b, t, d), x.dtype),       # dx
-            jax.ShapeDtypeStruct((b, t, d), x.dtype),       # h (staged)
             jax.ShapeDtypeStruct((b, t, 3 * d), x.dtype),   # dqkv (staged)
             jax.ShapeDtypeStruct((b, t, d), x.dtype),       # merged (staged)
             jax.ShapeDtypeStruct((d,), jnp.float32),        # dln_scale (accum)
@@ -273,13 +279,16 @@ def _backward(x, g, ln_s, ln_b, wqkv, bqkv, wout, n_heads, causal, eps):
         grid=grid,
         in_specs=[tile(d), tile(d), const((d,)), const((d,)), const((d, 3 * d)),
                   const((3 * d,)), const((d, d))],
-        out_specs=(tile(d), tile(d), tile(3 * d), tile(d), acc, acc),
+        out_specs=(tile(d), tile(3 * d), tile(d), acc, acc),
     )(x, g, ln_s, ln_b, wqkv, bqkv, wout)
+
+
+FWD_BT = 8  # forward batch tile (A/B-swept on chip; see module docstring)
 
 
 def _forward(x, ln_s, ln_b, wqkv, bqkv, wout, bout, n_heads, causal, eps):
     b, t, d = x.shape
-    bt = 8
+    bt = FWD_BT
     while b % bt and bt > 1:
         bt //= 2
     grid = (b // bt,)

@@ -42,7 +42,7 @@ def main():
     tx = make_adamw(1e-5, warmup_steps=0, total_steps=1000)
 
     results = {}
-    for batch_size, remat in ((128, False), (256, True)):
+    for batch_size, remat in ((128, False), (256, False), (256, True)):
         params = init_clip(jax.random.key(0), cfg)
         step = make_train_step(cfg, tx, mesh, policy=BF16_POLICY, remat=remat)
         state = TrainState.create(params, tx)
