@@ -39,27 +39,44 @@ def main():
     else:
         params = gpt2_lib.init_gpt2(jax.random.key(0), gcfg)
 
+    from construction_clip_tpu.data.corpus import tokenize_zh
+
+    # word counts over segmented caption tokens (reference
+    # export_prediction.py:512-518: Counter over tokenize(caption), top 100)
     freq: collections.Counter = collections.Counter()
     for a in load_annotations(args.json_path):
         text = a.caption or a.violation_list
         if text:
-            freq.update(tokenizer.encode(text))
-    top = [t for t, _ in freq.most_common(args.top_k)]
-    if not top:
+            freq.update(tokenize_zh(text))
+    words = freq.most_common(args.top_k)
+    if not words:
         print("no tokens found")
         return
 
-    wte = np.asarray(params["wte"])[top]  # [k, n_embd]
-    # PCA(1): first principal component of the centered rows
-    centered = wte - wte.mean(axis=0)
-    _, _, vt = np.linalg.svd(centered, full_matrices=False)
-    values = centered @ vt[0]
-
+    wte = np.asarray(params["wte"])  # [vocab, n_embd]
+    written = 0
     with open(args.out, "w", encoding="utf-8") as f:
-        for tok_id, val in zip(top, values):
-            word = tokenizer.decode([tok_id]).strip()
-            f.write(f"{word} {float(val):.6f}\n")
-    print(f"wrote {args.out}: {len(top)} tokens")
+        for word, _ in words:
+            # reference export_prediction.py:521-528: per WORD, take its token
+            # rows [n_tok, n_embd], PCA(1) over n_embd samples of n_tok features
+            # (fit_transform of the TRANSPOSED matrix), and write the n_embd
+            # principal-component scores — one line "word v1 ... v{n_embd}".
+            try:
+                ids = tokenizer.encode(word, add_special_tokens=False)
+            except TypeError:
+                ids = tokenizer.encode(word)
+            ids = [t for t in ids if 0 <= t < wte.shape[0]]
+            if not ids:
+                continue
+            vec_t = wte[ids].T                      # [n_embd, n_tok] (samples, feats)
+            centered = vec_t - vec_t.mean(axis=0)
+            _, _, vt = np.linalg.svd(centered, full_matrices=False)
+            scores = centered @ vt[0]               # [n_embd]
+            if scores[np.argmax(np.abs(scores))] < 0:
+                scores = -scores  # sklearn svd_flip: largest-|score| positive
+            f.write(word + " " + " ".join(str(float(v)) for v in scores) + "\n")
+            written += 1
+    print(f"wrote {args.out}: {written} words x {wte.shape[1]} PCA scores")
 
 
 if __name__ == "__main__":

@@ -136,3 +136,86 @@ class PrecomputedCaptionDataset:
 
     def __getitem__(self, i):
         return self.embeddings[i], self.attribute_tokens[i], self.captions_tokens[i]
+
+
+class OriginalClipCapDataset:
+    """The upstream-ClipCap dataset variant used by the embedding-export entry
+    point (reference CLIP_prefix_caption/export_prediction.py:40-97) — distinct
+    from the training dataset's quirk in two deliberate ways:
+
+      * pad value is -1 and the mask comes from tokens.ge(0) BEFORE clamping the
+        pad to 0, so the mask is MEANINGFUL (the training dataset pads with 0
+        first and its ge(0) mask is all-ones — reference train.py:50-53);
+      * tokenized captions are cached to `<data>_tokens.pkl`
+        (export_prediction.py:82-95) and max_seq_len is recomputed from the
+        CURRENT token lengths after any cache load:
+        min(int(mean + 10*std), max) (export_prediction.py:96-97).
+
+    encode: callable str -> list[int] (the GPT-2 tokenizer's encode).
+    """
+
+    def __init__(self, embeddings, captions, encode, prefix_length: int,
+                 cache_path: str | None = None, normalize_prefix: bool = False):
+        import pickle
+
+        import numpy as np
+
+        self.prefix_length = prefix_length
+        self.normalize_prefix = normalize_prefix
+        self.embeddings = embeddings
+        if cache_path is not None and os.path.isfile(cache_path):
+            with open(cache_path, "rb") as f:
+                self.captions_tokens, self.caption2embedding, _ = pickle.load(f)
+        else:
+            self.captions_tokens = [np.asarray(encode(c), dtype=np.int64)
+                                    for c in captions]
+            self.caption2embedding = list(range(len(captions)))
+            if cache_path is not None:
+                max_len = max((len(t) for t in self.captions_tokens), default=0)
+                with open(cache_path, "wb") as f:
+                    pickle.dump([self.captions_tokens, self.caption2embedding,
+                                 max_len], f)
+        lens = np.asarray([len(t) for t in self.captions_tokens], dtype=np.float64)
+        # torch.std is the sample std (ddof=1); empty/singleton guards for tests
+        std = float(lens.std(ddof=1)) if len(lens) > 1 else 0.0
+        self.max_seq_len = min(int(lens.mean() + std * 10), int(lens.max())) \
+            if len(lens) else 0
+
+    def __len__(self):
+        return len(self.captions_tokens)
+
+    def pad_tokens(self, item: int):
+        """-1 pad / truncate to max_seq_len; mask = ge(0) with prefix ones
+        prepended; pad positions clamped to 0 AFTER the mask is taken
+        (export_prediction.py:46-59). The reference's in-place tensor mutation
+        means a SECOND call on the same item sees the clamped row and returns an
+        all-ones mask — that quirk is reproduced deliberately (store-after-clamp
+        below)."""
+        import numpy as np
+
+        tokens = self.captions_tokens[item]
+        padding = self.max_seq_len - tokens.shape[0]
+        if padding > 0:
+            tokens = np.concatenate(
+                [tokens, np.zeros(padding, dtype=np.int64) - 1])
+            self.captions_tokens[item] = tokens
+        elif padding < 0:
+            tokens = tokens[:self.max_seq_len]
+            self.captions_tokens[item] = tokens
+        mask = tokens >= 0
+        tokens = np.where(mask, tokens, 0)
+        self.captions_tokens[item] = tokens
+        mask = np.concatenate(
+            [np.ones(self.prefix_length, dtype=np.float32),
+             mask.astype(np.float32)])
+        return tokens, mask
+
+    def __getitem__(self, item: int):
+        import numpy as np
+
+        tokens, mask = self.pad_tokens(item)
+        prefix = np.asarray(self.embeddings[self.caption2embedding[item]])
+        if self.normalize_prefix:
+            prefix = prefix.astype(np.float32)
+            prefix = prefix / np.linalg.norm(prefix, ord=2, axis=-1, keepdims=True)
+        return tokens, mask, prefix

@@ -56,9 +56,17 @@ class PredictService:
     def _caption_batch(self, staged_list):
         from construction_clip_tpu.data.preprocess import preprocess_batch
 
+        # pad to the next power of two: a drain of n requests reuses one of
+        # log2(max_batch)+1 compiled programs instead of compiling every n —
+        # what makes a 16-way max_batch practical through the slow-compile tunnel
+        n = len(staged_list)
+        padded = 1
+        while padded < n:
+            padded *= 2
+        staged_list = list(staged_list) + [staged_list[-1]] * (padded - n)
         size = self.pipe.clip_cfg.vision.image_size
         imgs = preprocess_batch(np.stack(staged_list), size)
-        return self.pipe.caption_images(imgs, use_beam=self.use_beam)
+        return self.pipe.caption_images(imgs, use_beam=self.use_beam)[:n]
 
     def predict(self, image_u8: np.ndarray) -> dict:
         from construction_clip_tpu.data.pipeline import host_shape_unify

@@ -64,10 +64,10 @@ def main():
     rng = np.random.default_rng(0)
     img = (rng.random((480, 640, 3)) * 255).astype(np.uint8)
 
-    svc = PredictService(pipe, use_beam=False, batch_window_ms=30, max_batch=4)
-    # warm every batch-size shape 1..4
+    svc = PredictService(pipe, use_beam=False, batch_window_ms=25, max_batch=16)
+    # warm the power-of-two batch shapes (app pads each drain to one of these)
     svc.predict(img)
-    for n in (2, 3, 4):
+    for n in (2, 4, 8, 16):
         with cf.ThreadPoolExecutor(n) as pool:
             list(pool.map(svc.predict, [img] * n))
     log("warm")
@@ -77,15 +77,26 @@ def main():
         svc.predict(img)
     lat_ms = (time.perf_counter() - t0) / 10 * 1e3
 
-    N = 32
+    N = 96
+    lats: list = []
+
+    def timed(i):
+        s0 = time.perf_counter()
+        svc.predict(img)
+        lats.append(time.perf_counter() - s0)
+
     t0 = time.perf_counter()
-    with cf.ThreadPoolExecutor(16) as pool:
-        list(pool.map(svc.predict, [img] * N))
+    with cf.ThreadPoolExecutor(24) as pool:
+        list(pool.map(timed, range(N)))
     thr = N / (time.perf_counter() - t0)
+    lats_ms = sorted(l * 1e3 for l in lats)
+    p50 = lats_ms[len(lats_ms) // 2]
+    p99 = lats_ms[min(len(lats_ms) - 1, int(len(lats_ms) * 0.99))]
 
     print(json.dumps({"single_request_ms": round(lat_ms, 1),
-                      "concurrent_req_s": round(thr, 2),
-                      "batch_window_ms": 30, "max_batch": 4}))
+                      "concurrent_req_s_24way": round(thr, 2),
+                      "p50_ms": round(p50, 1), "p99_ms": round(p99, 1),
+                      "batch_window_ms": 25, "max_batch": 16}))
 
 
 if __name__ == "__main__":
