@@ -75,6 +75,58 @@ def init_gpt2(key, cfg: GPT2Config, dtype=jnp.float32):
     }
 
 
+def _linear(h, w, b):
+    """y = h @ W + b, dispatching on the weight leaf: plain array (bf16/fp32
+    matmul) or {"q": int8, "s": fp32} from quantize_gpt2 (int8 MXU matmul with
+    dynamic per-row activation quant — ops/quant.py). Weight-only int8 halves
+    the per-step HBM weight reads that bound batched decode."""
+    if isinstance(w, dict):
+        from construction_clip_tpu.ops.quant import int8_linear
+
+        return int8_linear(h, w["q"], w["s"], b, out_dtype=h.dtype)
+    return h @ w + b
+
+
+def quantize_gpt2(params, dtype=jnp.bfloat16):
+    """Inference-quantized GPT-2 params: the four block GEMM weights and a
+    transposed logits copy of wte become int8 {"q","s"} leaves; other float
+    leaves are cast to `dtype`. wte itself stays float for embedding lookups.
+    gpt2_forward detects the structure and skips the policy cast."""
+    from construction_clip_tpu.ops.quant import quantize_tree
+
+    p = jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params)
+    p = quantize_tree(p, (
+        ("blocks", "attn", "c_attn_w"),
+        ("blocks", "attn", "c_proj_w"),
+        ("blocks", "mlp", "c_fc_w"),
+        ("blocks", "mlp", "c_proj_w"),
+    ))
+    wt = params["wte"].astype(jnp.float32).T  # [n_embd, vocab]
+    amax = jnp.max(jnp.abs(wt), axis=0, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    p["wte_logits"] = {
+        "q": jnp.clip(jnp.round(wt / scale), -127, 127).astype(jnp.int8),
+        "s": scale.squeeze(0),
+    }
+    return p
+
+
+def _is_quantized(params) -> bool:
+    return isinstance(params["blocks"]["attn"]["c_attn_w"], dict)
+
+
+def _lm_logits(p, x):
+    if "wte_logits" in p:
+        from construction_clip_tpu.ops.quant import int8_linear
+
+        return int8_linear(x, p["wte_logits"]["q"], p["wte_logits"]["s"],
+                           out_dtype=jnp.float32)
+    return (x @ p["wte"].T).astype(jnp.float32)
+
+
 def _attn_uncached(q, k, v, attn_bias, return_probs: bool = False):
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits *= q.shape[-1] ** -0.5
@@ -129,7 +181,7 @@ def gpt2_forward(
     tokens are appended). attn_bias: additive, broadcastable to [B,H,T_q,T_k]
     (T_k = cache T_max when cached).
     """
-    p = policy.cast_to_compute(params)
+    p = params if _is_quantized(params) else policy.cast_to_compute(params)
     if inputs_embeds is None:
         x = p["wte"][tokens]
     else:
@@ -150,7 +202,7 @@ def gpt2_forward(
         def body(carry, lp):
             h, ck_all, cv_all, l = carry
             y = layer_norm(h, **lp["ln_1"], eps=cfg.layer_norm_epsilon)
-            qkv = y @ lp["attn"]["c_attn_w"] + lp["attn"]["c_attn_b"]
+            qkv = _linear(y, lp["attn"]["c_attn_w"], lp["attn"]["c_attn_b"])
             q, k, v = (split_heads(z, n_heads) for z in jnp.split(qkv, 3, axis=-1))
             ck_all = jax.lax.dynamic_update_slice(
                 ck_all, k.astype(ck_all.dtype)[None], (l, 0, 0, start, 0))
@@ -159,10 +211,11 @@ def gpt2_forward(
             ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
             cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
             out = _attn_over_cache(q, ck, cv, start, attn_bias)
-            h = h + merge_heads(out) @ lp["attn"]["c_proj_w"] + lp["attn"]["c_proj_b"]
+            h = h + _linear(merge_heads(out), lp["attn"]["c_proj_w"],
+                            lp["attn"]["c_proj_b"])
             y = layer_norm(h, **lp["ln_2"], eps=cfg.layer_norm_epsilon)
-            y = gelu_new(y @ lp["mlp"]["c_fc_w"] + lp["mlp"]["c_fc_b"])
-            h = h + y @ lp["mlp"]["c_proj_w"] + lp["mlp"]["c_proj_b"]
+            y = gelu_new(_linear(y, lp["mlp"]["c_fc_w"], lp["mlp"]["c_fc_b"]))
+            h = h + _linear(y, lp["mlp"]["c_proj_w"], lp["mlp"]["c_proj_b"])
             return (h, ck_all, cv_all, l + 1), None
 
         if remat:
@@ -170,19 +223,20 @@ def gpt2_forward(
         (x, nk, nv, _), _ = jax.lax.scan(
             body, (x, cache.k, cache.v, jnp.zeros((), jnp.int32)), p["blocks"])
         x = layer_norm(x, **p["ln_f"], eps=cfg.layer_norm_epsilon)
-        logits = (x @ p["wte"].T).astype(jnp.float32)
+        logits = _lm_logits(p, x)
         return logits, KVCache(k=nk, v=nv, length=cache.length + t)
 
     def body(carry, lp):
         h = carry
         y = layer_norm(h, **lp["ln_1"], eps=cfg.layer_norm_epsilon)
-        qkv = y @ lp["attn"]["c_attn_w"] + lp["attn"]["c_attn_b"]
+        qkv = _linear(y, lp["attn"]["c_attn_w"], lp["attn"]["c_attn_b"])
         q, k, v = (split_heads(z, n_heads) for z in jnp.split(qkv, 3, axis=-1))
         out, probs = _attn_uncached(q, k, v, attn_bias, return_probs=return_probs)
-        h = h + merge_heads(out) @ lp["attn"]["c_proj_w"] + lp["attn"]["c_proj_b"]
+        h = h + _linear(merge_heads(out), lp["attn"]["c_proj_w"],
+                        lp["attn"]["c_proj_b"])
         y = layer_norm(h, **lp["ln_2"], eps=cfg.layer_norm_epsilon)
-        y = gelu_new(y @ lp["mlp"]["c_fc_w"] + lp["mlp"]["c_fc_b"])
-        h = h + y @ lp["mlp"]["c_proj_w"] + lp["mlp"]["c_proj_b"]
+        y = gelu_new(_linear(y, lp["mlp"]["c_fc_w"], lp["mlp"]["c_fc_b"]))
+        h = h + _linear(y, lp["mlp"]["c_proj_w"], lp["mlp"]["c_proj_b"])
         return h, probs
 
     if remat:
@@ -190,7 +244,7 @@ def gpt2_forward(
     x, ys = jax.lax.scan(body, x, p["blocks"])
 
     x = layer_norm(x, **p["ln_f"], eps=cfg.layer_norm_epsilon)
-    logits = (x @ p["wte"].T).astype(jnp.float32)
+    logits = _lm_logits(p, x)
     if return_probs:
         return logits, ys  # ys = probs [L, B, H, T, T]
     return logits, None

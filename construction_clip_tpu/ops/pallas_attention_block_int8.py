@@ -1,0 +1,118 @@
+"""int8 fused pre-norm attention block (serving forward only).
+
+Same fusion as ops/pallas_attention_block.py — out = x + W_out·MHA(W_qkv·LN(x))
+in one program per batch tile — with the two weight GEMMs on the int8 MXU path
+(394 TOP/s on v5e vs 197 TFLOP/s bf16): weights arrive pre-quantized
+(per-out-channel symmetric int8 + fp32 scales, ops/quant.py), activations are
+quantized per row inside the kernel right after the fp32 LN. Per-head attention
+math stays bf16/fp32 — at T=50 those matmuls are latency-bound, int8 buys
+nothing. No backward: quantized blocks are a serving configuration.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _rowq(h32):
+    """fp32 [.., D] -> (int8 rows, fp32 per-row scale [.., 1])."""
+    s = jnp.max(jnp.abs(h32), axis=-1, keepdims=True) / 127.0
+    s = jnp.where(s > 0, s, 1.0)
+    q = jnp.clip(jnp.round(h32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+            wout_ref, sout_ref, bout_ref, out_ref,
+            *, n_heads: int, causal: bool, eps: float):
+    bt, t, d = x_ref.shape
+    dh = d // n_heads
+    x = x_ref[:]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    h32 = ((x32 - mean) * jax.lax.rsqrt(var + eps)
+           * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32))
+    hq, hs = _rowq(h32)
+    acc = jax.lax.dot_general(
+        hq, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                       # [bt, T, 3D]
+    qkv = (acc.astype(jnp.float32) * hs * sqkv_ref[:]
+           + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)
+    scale = dh ** -0.5
+
+    outs = []
+    for head in range(n_heads):
+        off = head * dh
+        q = qkv[:, :, off: off + dh]
+        k = qkv[:, :, d + off: d + off + dh]
+        v = qkv[:, :, 2 * d + off: 2 * d + off + dh]
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        if causal:
+            qp = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+            kp = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+            logits = jnp.where((qp >= kp)[None], logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+    merged32 = jnp.concatenate(outs, axis=-1)                   # fp32 [bt, T, D]
+    mq, ms = _rowq(merged32)
+    acc = jax.lax.dot_general(
+        mq, wout_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * ms * sout_ref[:]
+    out_ref[:] = (x32 + y + bout_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def supported(x, n_heads: int) -> bool:
+    b, t, d = x.shape
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if d % n_heads:
+        return False
+    weights = 3 * d * d + d * d                     # int8
+    tile = 8 * t * (6 * d) * 4
+    return weights + tile <= 12 * 1024 * 1024 and t <= 256
+
+
+def fused_attention_block_int8(x, ln_params, qattn, *, n_heads: int,
+                               causal: bool = False, eps: float = 1e-5):
+    """x [B,T,D]; qattn: attn dict where w_qkv/w_out are {"q": int8, "s": fp32}
+    (ops/quant.quantize_tree) and b_qkv/b_out stay float."""
+    return _forward(x, ln_params["scale"], ln_params["bias"],
+                    qattn["w_qkv"]["q"], qattn["w_qkv"]["s"], qattn["b_qkv"],
+                    qattn["w_out"]["q"], qattn["w_out"]["s"], qattn["b_out"],
+                    n_heads, bool(causal), float(eps))
+
+
+def _forward(x, ln_s, ln_b, wqkv, sqkv, bqkv, wout, sout, bout,
+             n_heads, causal, eps):
+    b, t, d = x.shape
+    bt = 8
+    while b % bt and bt > 1:
+        bt //= 2
+    grid = (b // bt,)
+    tile = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, n_heads=n_heads, causal=causal, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        grid=grid,
+        in_specs=[tile, const((d,)), const((d,)), const((d, 3 * d)),
+                  const((3 * d,)), const((3 * d,)), const((d, d)), const((d,)),
+                  const((d,))],
+        out_specs=tile,
+    )(x, ln_s, ln_b, wqkv, sqkv, bqkv, wout, sout, bout)

@@ -73,6 +73,18 @@ def main():
         results[f"greedy_b{b}_tok_s"] = round(b * STEPS / dt, 1)
         log(f"greedy b={b}: {dt*1e3:.0f} ms -> {b*STEPS/dt:.0f} tok/s")
 
+    # weight-only int8 serving decode (models/gpt2.quantize_gpt2): halves the
+    # per-step HBM weight reads that bound the batched path
+    from construction_clip_tpu.models.gpt2 import quantize_gpt2
+
+    qgpt = quantize_gpt2(params["gpt"])
+    for b in (1, 32):
+        e = prompt(b)
+        dt = timeit(lambda: greedy_decode(qgpt, gcfg, e, max_steps=STEPS,
+                                          stop_token=-1, policy=BF16_POLICY))
+        results[f"greedy_int8_b{b}_tok_s"] = round(b * STEPS / dt, 1)
+        log(f"greedy int8 b={b}: {dt*1e3:.0f} ms -> {b*STEPS/dt:.0f} tok/s")
+
     e8 = prompt(8)
     dt = timeit(lambda: beam_decode(params["gpt"], gcfg, e8, beam_size=3,
                                     max_steps=STEPS, stop_token=-1,
