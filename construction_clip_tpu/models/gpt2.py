@@ -144,9 +144,23 @@ def _attn_uncached(q, k, v, attn_bias, return_probs: bool = False):
 
 def _attn_over_cache(q, ck, cv, cache_len, attn_bias):
     """q [B,H,t,Dh] over the (already-updated) full cache window [B,H,T_max,Dh]
-    with validity+causal masking."""
+    with validity+causal masking.
+
+    t==1 (the decode step) takes a multiply-reduce path instead of dot_general:
+    M=1 batched matmuls lower to ~B*H latency-bound MXU dispatches, while the
+    broadcastal q*k sum and p*v sum fuse into two VPU kernels."""
     t_new = q.shape[2]
     t_max = ck.shape[2]
+    if t_new == 1:
+        qf = q[:, :, 0, :].astype(jnp.float32) * (q.shape[-1] ** -0.5)
+        logits = jnp.sum(qf[:, :, None, :] * ck.astype(jnp.float32), axis=-1)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
+        logits = jnp.where(k_pos <= cache_len, logits, jnp.finfo(jnp.float32).min)
+        if attn_bias is not None:
+            logits = logits + attn_bias.astype(jnp.float32)[..., 0, :]
+        probs = jax.nn.softmax(logits, axis=-1)                      # [B,H,T]
+        out = jnp.sum(probs[..., None] * cv.astype(jnp.float32), axis=2)
+        return out[:, :, None, :].astype(q.dtype)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, ck.astype(q.dtype),
                         preferred_element_type=jnp.float32)
     logits *= q.shape[-1] ** -0.5

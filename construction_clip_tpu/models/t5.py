@@ -244,25 +244,37 @@ def t5_decode(params, cfg: T5Config, decoder_input_ids, encoder_hidden, *,
     def merge(z):
         return z.transpose(0, 2, 1, 3).reshape(b, -1, h * dk)
 
+    def _mha(q, k, v, bias):
+        """q [B,H,t,dh] over k/v [B,H,T,dh] with additive bias (T5: no 1/sqrt(dk)
+        scale). t==1 (decode step) uses broadcast multiply-reduce — M=1 batched
+        matmuls lower to B*H latency-bound MXU dispatches, while these fuse into
+        two VPU kernels (same trick as models/gpt2._attn_over_cache)."""
+        if q.shape[2] == 1:
+            logits = jnp.sum(q[:, :, 0, :].astype(jnp.float32)[:, :, None, :]
+                             * k.astype(jnp.float32), axis=-1)       # [B,H,T]
+            if bias is not None:
+                logits = logits + bias.astype(jnp.float32)[..., 0, :]
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.sum(probs[..., None] * v.astype(jnp.float32), axis=2)
+            return out[:, :, None, :].astype(q.dtype)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        if bias is not None:
+            logits = logits + bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+
     def self_attn(hid, bp, k, v):
         q = heads(rms_norm(hid, bp["ln_self"], eps=cfg.layer_norm_epsilon)
                   @ bp["self_attn"]["q"])
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        logits = logits + self_bias
-        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-        att = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
-                         preferred_element_type=jnp.float32).astype(q.dtype)
+        att = _mha(q, k, v, self_bias)
         return hid + merge(att) @ bp["self_attn"]["o"]
 
     def cross_and_ffn(hid, bp, kx, vx):
         y = rms_norm(hid, bp["ln_cross"], eps=cfg.layer_norm_epsilon)
         qx = heads(y @ bp["cross_attn"]["q"])
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qx, kx, preferred_element_type=jnp.float32)
-        if cross_bias is not None:
-            logits = logits + cross_bias
-        probs = jax.nn.softmax(logits, axis=-1).astype(qx.dtype)
-        att = jnp.einsum("bhqk,bhkd->bhqd", probs, vx,
-                         preferred_element_type=jnp.float32).astype(qx.dtype)
+        att = _mha(qx, kx, vx, cross_bias)
         hid = hid + merge(att) @ bp["cross_attn"]["o"]
         y = rms_norm(hid, bp["ln_ffn"], eps=cfg.layer_norm_epsilon)
         return hid + _ffn(y, bp["ffn"])

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""mT5-small caption decode throughput (BASELINE config 4 inference path):
+greedy and sampling via infer/decode_t5.t5_generate, max_length 32 as the
+reference uses (train_t5.py:75). Prints one JSON line."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
+    cache_dir = os.path.expanduser("~/.cache/cctpu_xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from construction_clip_tpu.core.configs import T5Config
+    from construction_clip_tpu.infer.decode_t5 import t5_generate
+    from construction_clip_tpu.models.t5 import init_t5
+
+    log(f"backend={jax.default_backend()}")
+    cfg = T5Config()  # defaults = google/mt5-small
+    params = init_t5(jax.random.key(0), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params)
+    STEPS = 32
+    results = {}
+
+    for b in (1, 32):
+        # injected encoder states: prefix 20 + attribute-ish 20 tokens of hidden
+        enc = jax.random.normal(jax.random.key(1), (b, 40, cfg.d_model),
+                                jnp.bfloat16)
+        fn = lambda: t5_generate(params, cfg, enc, max_steps=STEPS, do_sample=False)
+        out = fn()
+        _ = np.asarray(jax.tree.leaves(out)[0])
+        t0 = time.perf_counter()
+        iters = 5
+        for _ in range(iters):
+            out = fn()
+        _ = np.asarray(jax.tree.leaves(out)[0])
+        dt = (time.perf_counter() - t0) / iters
+        results[f"t5_greedy_b{b}_tok_s"] = round(b * STEPS / dt, 1)
+        log(f"t5 greedy b={b}: {dt*1e3:.0f} ms -> {b*STEPS/dt:.0f} tok/s")
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,8 +17,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCHES = [
     ("encode", [sys.executable, os.path.join(REPO, "bench.py")]),
+    ("encode_int8", [sys.executable, os.path.join(REPO, "tools/bench_encode_int8.py")]),
     ("decode", [sys.executable, os.path.join(REPO, "tools/bench_decode.py")]),
+    ("decode_t5", [sys.executable, os.path.join(REPO, "tools/bench_decode_t5.py")]),
     ("train", [sys.executable, os.path.join(REPO, "tools/bench_train.py")]),
+    ("vitl", [sys.executable, os.path.join(REPO, "tools/bench_vitl.py")]),
     ("serve", [sys.executable, os.path.join(REPO, "tools/bench_serve.py")]),
 ]
 
