@@ -20,6 +20,8 @@ def main():
     p.add_argument("--tokenizer", default="ckiplab/gpt2-base-chinese")
     p.add_argument("--gpt_checkpoint", default=None)
     p.add_argument("--top_k", type=int, default=100)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny GPT-2 config (tests: skips the 102M random init)")
     p.add_argument("--out", default="gpt2_embeddings.txt")
     args = p.parse_args()
 
@@ -31,7 +33,7 @@ def main():
     from construction_clip_tpu.models import gpt2 as gpt2_lib
 
     tokenizer = load_hf_tokenizer(args.tokenizer)
-    gcfg = GPT2Config()
+    gcfg = GPT2Config.tiny() if args.tiny else GPT2Config()
     if args.gpt_checkpoint:
         from construction_clip_tpu.models.clip.convert import load_torch_checkpoint
 
