@@ -25,6 +25,9 @@ def main():
     p.add_argument("--attribute_length", type=int, default=20)
     p.add_argument("--mapping_type", default="mlp")
     p.add_argument("--greedy", action="store_true", help="greedy decode instead of beam")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 serving: quantize the CLIP image tower and GPT-2 "
+                        "weights at startup (half the weight memory; encode +19%%)")
     p.add_argument("--detector_checkpoint", default=None,
                    help="torchvision fasterrcnn .pth (the reference's model_final.pth)")
     p.add_argument("--enable_detector", action="store_true",
@@ -52,6 +55,12 @@ def main():
     cap_params = init_clipcap(jax.random.key(0), ccfg, gcfg)
     if args.caption_checkpoint:
         cap_params = load_params_npz(args.caption_checkpoint, cap_params)
+    if args.int8:
+        from construction_clip_tpu.models.clip.quant import quantize_clip
+        from construction_clip_tpu.models.gpt2 import quantize_gpt2
+
+        clip_params = quantize_clip(clip_params)
+        cap_params = dict(cap_params, gpt=quantize_gpt2(cap_params["gpt"]))
 
     pipe = CaptionPipeline(
         clip_params=clip_params, clip_cfg=clip_cfg, cap_params=cap_params,

@@ -41,10 +41,19 @@ def make_embed_classify_fn(params, cfg: CLIPConfig, ct_tokens, vt_tokens, *,
                            normalize=True)
     vt_feats = encode_text(params, cfg, jnp.asarray(vt_tokens), policy=policy,
                            normalize=True)
+    # int8-serving params (models/clip/quant.quantize_clip) are detected
+    # structurally; the text tower in that tree is plain bf16, so label feature
+    # computation above is unchanged.
+    quantized = isinstance(params["vision"]["patch_embed"], dict)
 
     @jax.jit
     def fn(params, ct_feats, vt_feats, images):
-        emb = encode_image(params, cfg, images, policy=policy, normalize=False)
+        if quantized:
+            from construction_clip_tpu.models.clip.quant import encode_image_int8
+
+            emb = encode_image_int8(params, cfg, images, normalize=False)
+        else:
+            emb = encode_image(params, cfg, images, policy=policy, normalize=False)
         normed = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
         ct = jnp.argmax(normed @ ct_feats.T, axis=-1)
         vt = jnp.argmax(normed @ vt_feats.T, axis=-1)

@@ -123,3 +123,54 @@ def test_quantized_gpt2_decode(rng):
     out = greedy_decode(qp, cfg, emb, max_steps=8, stop_token=127)
     toks = np.asarray(out.tokens if hasattr(out, "tokens") else out)
     assert toks.shape == (2, 8)
+
+
+def test_int8_caption_pipeline_end_to_end(rng):
+    """Quantized CLIP + quantized GPT-2 through the full serving pipeline
+    (classify -> attribute -> prefix -> decode -> text) on tiny configs."""
+    import gzip
+    import tempfile
+
+    from construction_clip_tpu.core.configs import (ClipCapConfig, GPT2Config,
+                                                    TextConfig, VisionConfig)
+    from construction_clip_tpu.core.configs import CLIPConfig as CC
+    from construction_clip_tpu.data.clip_tokenizer import ClipTokenizer
+    from construction_clip_tpu.infer.caption import CaptionPipeline
+    from construction_clip_tpu.models.clip.quant import quantize_clip
+    from construction_clip_tpu.models.clipcap import init_clipcap
+    from construction_clip_tpu.models.gpt2 import quantize_gpt2
+
+    clip_cfg = CC(
+        vision=VisionConfig(image_size=32, patch_size=8, width=32, layers=1,
+                            heads=2, embed_dim=16),
+        text=TextConfig(vocab_size=600, context_length=12, width=32, layers=1,
+                        heads=2, embed_dim=16))
+    gcfg = GPT2Config(vocab_size=128, n_positions=64, n_embd=32, n_layer=1,
+                      n_head=2)
+    ccfg = ClipCapConfig(prefix_length=2, attribute_length=3, clip_dim=16)
+    with tempfile.NamedTemporaryFile(suffix=".txt.gz", delete=False) as f:
+        pass
+    with gzip.open(f.name, "wt", encoding="utf-8") as g:
+        g.write("version\n")
+
+    class Tok:
+        def encode(self, text):
+            return [ord(c) % 100 + 5 for c in text][:6]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(0x4E00 + int(i) % 50) for i in ids)
+
+    cap = init_clipcap(jax.random.key(1), ccfg, gcfg)
+    pipe = CaptionPipeline(
+        clip_params=quantize_clip(init_clip(jax.random.key(0), clip_cfg)),
+        clip_cfg=clip_cfg,
+        cap_params=dict(cap, gpt=quantize_gpt2(cap["gpt"])),
+        ccfg=ccfg, gcfg=gcfg,
+        clip_tokenizer=ClipTokenizer(f.name, n_merges=None),
+        lm_tokenizer=Tok(), stop_token=102, max_steps=4, beam_size=2)
+    imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    for use_beam in (False, True):
+        out = pipe.caption_images(imgs, use_beam=use_beam)
+        assert len(out) == 2
+        assert all(isinstance(o["caption"], str) for o in out)
+        assert all(o["violation_type"] for o in out)
