@@ -104,13 +104,10 @@ def quantize_gpt2(params, dtype=jnp.bfloat16):
         ("blocks", "mlp", "c_fc_w"),
         ("blocks", "mlp", "c_proj_w"),
     ))
-    wt = params["wte"].astype(jnp.float32).T  # [n_embd, vocab]
-    amax = jnp.max(jnp.abs(wt), axis=0, keepdims=True)
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    p["wte_logits"] = {
-        "q": jnp.clip(jnp.round(wt / scale), -127, 127).astype(jnp.int8),
-        "s": scale.squeeze(0),
-    }
+    from construction_clip_tpu.ops.quant import quantize_weight
+
+    wq, ws = quantize_weight(params["wte"].T, axis=0)  # [n_embd, vocab]
+    p["wte_logits"] = {"q": wq, "s": ws}
     return p
 
 
@@ -157,7 +154,10 @@ def _attn_over_cache(q, ck, cv, cache_len, attn_bias):
         k_pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
         logits = jnp.where(k_pos <= cache_len, logits, jnp.finfo(jnp.float32).min)
         if attn_bias is not None:
-            logits = logits + attn_bias.astype(jnp.float32)[..., 0, :]
+            b32 = attn_bias.astype(jnp.float32)
+            if b32.ndim >= 2:
+                b32 = b32[..., 0, :]  # drop the t==1 query axis
+            logits = logits + b32
         probs = jax.nn.softmax(logits, axis=-1)                      # [B,H,T]
         out = jnp.sum(probs[..., None] * cv.astype(jnp.float32), axis=2)
         return out[:, :, None, :].astype(q.dtype)

@@ -253,7 +253,10 @@ def t5_decode(params, cfg: T5Config, decoder_input_ids, encoder_hidden, *,
             logits = jnp.sum(q[:, :, 0, :].astype(jnp.float32)[:, :, None, :]
                              * k.astype(jnp.float32), axis=-1)       # [B,H,T]
             if bias is not None:
-                logits = logits + bias.astype(jnp.float32)[..., 0, :]
+                b32 = bias.astype(jnp.float32)
+                if b32.ndim >= 2:
+                    b32 = b32[..., 0, :]  # drop the t==1 query axis
+                logits = logits + b32
             probs = jax.nn.softmax(logits, axis=-1)
             out = jnp.sum(probs[..., None] * v.astype(jnp.float32), axis=2)
             return out[:, :, None, :].astype(q.dtype)

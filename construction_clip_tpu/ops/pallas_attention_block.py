@@ -31,25 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def _kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-            out_ref, *, n_heads: int, causal: bool, eps: float):
-    # x_ref: [Bt, T, D] batch tile
-    bt, t, d = x_ref.shape
+def per_head_attention(qkv, d: int, n_heads: int, causal: bool, out_dtype):
+    """qkv [Bt, T, 3D] -> merged [Bt, T, D] via static last-dim per-head slices,
+    fp32 softmax. Shared by the bf16 kernel below and the int8 kernel in
+    pallas_attention_block_int8.py."""
+    bt, t, _ = qkv.shape
     dh = d // n_heads
-    x = x_ref[:]
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    h = ((x32 - mean) * jax.lax.rsqrt(var + eps)
-         * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32)
-         ).astype(x.dtype)
-    # batched GEMM keeps everything 3-D (Mosaic rejects >4-D reshapes)
-    qkv = jax.lax.dot_general(
-        h, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(x.dtype) + bqkv_ref[:]  # [Bt,T,3D]
     scale = dh ** -0.5
-
-    # per-head attention via static last-dim slices, fp32 softmax
     outs = []
     for head in range(n_heads):
         off = head * dh
@@ -68,8 +56,26 @@ def _kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         outs.append(jax.lax.dot_general(
             p.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(x.dtype))
-    merged = jnp.concatenate(outs, axis=-1)          # [Bt, T, D]
+            preferred_element_type=jnp.float32).astype(out_dtype))
+    return jnp.concatenate(outs, axis=-1)            # [Bt, T, D]
+
+
+def _kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+            out_ref, *, n_heads: int, causal: bool, eps: float):
+    # x_ref: [Bt, T, D] batch tile
+    bt, t, d = x_ref.shape
+    x = x_ref[:]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    h = ((x32 - mean) * jax.lax.rsqrt(var + eps)
+         * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32)
+         ).astype(x.dtype)
+    # batched GEMM keeps everything 3-D (Mosaic rejects >4-D reshapes)
+    qkv = jax.lax.dot_general(
+        h, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype) + bqkv_ref[:]  # [Bt,T,3D]
+    merged = per_head_attention(qkv, d, n_heads, causal, x.dtype)
     y = jax.lax.dot_general(
         merged, wout_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)

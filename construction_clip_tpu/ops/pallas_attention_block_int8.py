@@ -33,7 +33,6 @@ def _kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
             wout_ref, sout_ref, bout_ref, out_ref,
             *, n_heads: int, causal: bool, eps: float):
     bt, t, d = x_ref.shape
-    dh = d // n_heads
     x = x_ref[:]
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -46,28 +45,9 @@ def _kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
         preferred_element_type=jnp.int32)                       # [bt, T, 3D]
     qkv = (acc.astype(jnp.float32) * hs * sqkv_ref[:]
            + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)
-    scale = dh ** -0.5
+    from construction_clip_tpu.ops.pallas_attention_block import per_head_attention
 
-    outs = []
-    for head in range(n_heads):
-        off = head * dh
-        q = qkv[:, :, off: off + dh]
-        k = qkv[:, :, d + off: d + off + dh]
-        v = qkv[:, :, 2 * d + off: 2 * d + off + dh]
-        logits = jax.lax.dot_general(
-            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        if causal:
-            qp = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
-            kp = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-            logits = jnp.where((qp >= kp)[None], logits, NEG_INF)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot_general(
-            p.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))
-    merged32 = jnp.concatenate(outs, axis=-1)                   # fp32 [bt, T, D]
+    merged32 = per_head_attention(qkv, d, n_heads, causal, jnp.float32)
     mq, ms = _rowq(merged32)
     acc = jax.lax.dot_general(
         mq, wout_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),

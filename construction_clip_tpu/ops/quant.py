@@ -60,23 +60,10 @@ def quantize_tree(params, paths):
     {"q": int8 w, "s": fp32 scales}.
     """
     params = jax.tree.map(lambda x: x, params)  # shallow copy
-
-    def q(w):
-        w32 = w.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
-        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-        wq = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
-        return {"q": wq, "s": jnp.squeeze(scale, -2)}
-
     for path in paths:
         node = params
         for k in path[:-1]:
             node = node[k]
-        node[path[-1]] = q(node[path[-1]])
+        wq, s = quantize_weight(node[path[-1]], axis=-2)
+        node[path[-1]] = {"q": wq, "s": s}
     return params
-
-
-def int8_linear_stacked(x, wqs, bias=None, *, out_dtype=None):
-    """int8_linear for a {"q","s"} leaf produced by quantize_tree (per-layer
-    slice already taken, so wqs["q"] is [in, out])."""
-    return int8_linear(x, wqs["q"], wqs["s"], bias, out_dtype=out_dtype)

@@ -28,6 +28,7 @@ def main():
     import numpy as np
 
     from construction_clip_tpu.core.configs import T5Config
+    from construction_clip_tpu.core.precision import BF16_POLICY
     from construction_clip_tpu.infer.decode_t5 import t5_generate
     from construction_clip_tpu.models.t5 import init_t5
 
@@ -45,7 +46,8 @@ def main():
         # injected encoder states: prefix 20 + attribute-ish 20 tokens of hidden
         enc = jax.random.normal(jax.random.key(1), (b, 40, cfg.d_model),
                                 jnp.bfloat16)
-        fn = lambda: t5_generate(params, cfg, enc, max_steps=STEPS, do_sample=False)
+        fn = lambda: t5_generate(params, cfg, enc, max_steps=STEPS, do_sample=False,
+                                 policy=BF16_POLICY)
         out = fn()
         _ = np.asarray(jax.tree.leaves(out)[0])
         t0 = time.perf_counter()

@@ -142,7 +142,7 @@ def main():
     results["tunnel_h2d_mb_s"] = round(x.nbytes / dt / 1e6, 1)
     results["tunnel_h2d_img_s_ceiling"] = round(B / dt, 1)
     log(f"tunnel H2D: {x.nbytes/dt/1e6:.1f} MB/s -> {B/dt:.0f} img/s ceiling")
-    results["device_only_img_s_b128"] = 2023.4  # tools/bench_train.py same session
+    log("device-only upper bound: run tools/bench_train.py (not re-measured here)")
     print(json.dumps(results))
 
     import shutil
