@@ -45,11 +45,14 @@ def main():
         anns = json.load(f)["annotations"]
 
     preds, gts = [], []
+    skipped = 0
+    gt_outside = 0
     for a in anns:
         try:
             img = default_load_image(os.path.join(args.image_root, a["file_name"]))
         except (FileNotFoundError, OSError) as e:
             print(f"skip {a['file_name']}: {e}")
+            skipped += 1
             continue
         out = det.detect(img)
         live = [(b, l, s) for b, l, s in
@@ -58,9 +61,31 @@ def main():
         preds.append({"boxes": [b for b, _, _ in live],
                       "labels": [l for _, l, _ in live],
                       "scores": [s for _, _, s in live]})
-        gts.append({"boxes": a.get("boxes", []), "labels": a.get("labels", [])})
+        # The detector stages via a centered square crop, so only the central
+        # min(h,w) square is visible to it. GT boxes are clipped to that square;
+        # boxes with <50% of their area inside it are excluded (and counted) so
+        # the metric scores the model, not the staging geometry.
+        h, w = img.shape[:2]
+        side = min(h, w)
+        x0, y0 = (w - side) / 2, (h - side) / 2
+        boxes, labels = [], []
+        for b, l in zip(a.get("boxes", []), a.get("labels", [])):
+            bx1, by1, bx2, by2 = map(float, b)
+            ix1, iy1 = max(bx1, x0), max(by1, y0)
+            ix2, iy2 = min(bx2, x0 + side), min(by2, y0 + side)
+            inter = max(0.0, ix2 - ix1) * max(0.0, iy2 - iy1)
+            area = max(1e-6, (bx2 - bx1) * (by2 - by1))
+            if inter / area < 0.5:
+                gt_outside += 1
+                continue
+            boxes.append([ix1, iy1, ix2, iy2])
+            labels.append(l)
+        gts.append({"boxes": boxes, "labels": labels})
 
     metrics = evaluate_detections(preds, gts, num_classes=args.num_classes)
+    metrics["skipped_images"] = skipped
+    metrics["evaluated_images"] = len(preds)
+    metrics["gt_boxes_outside_crop"] = gt_outside
     print(json.dumps(metrics, indent=2))
     if args.out:
         with open(args.out, "w", encoding="utf-8") as f:

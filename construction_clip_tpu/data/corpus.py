@@ -75,12 +75,18 @@ def tokenize_zh(text: str) -> List[str]:
     if cur:
         runs.append(cur)
     # punctuation splits CJK runs into sub-words before the filter would drop the
-    # whole run for containing it
+    # whole run for containing it. The excluded CHARACTERS 一/○ (reference
+    # corpus.py:17 drops the spaCy WORD containing them) also split here:
+    # without word segmentation a run is a whole clause, and dropping the clause
+    # for one 一 would lose e.g. all of 工地一樓開口未防護 instead of just 一樓 —
+    # splitting keeps the neighbors (a documented approximation: the reference
+    # loses 樓 with the word, we keep it).
     split_runs: List[str] = []
     for r in runs:
         word = ""
         for ch in r:
-            if unicodedata.category(ch).startswith("P") or ch in "：。，、；！？（）「」":
+            if (unicodedata.category(ch).startswith("P")
+                    or ch in "：。，、；！？（）「」一○"):
                 if word:
                     split_runs.append(word)
                 word = ""
@@ -142,7 +148,8 @@ def safety_report_lines(report_dir: str) -> List[str]:
     for file_name in sorted(os.listdir(report_dir)):
         if not file_name.endswith("pdf"):
             continue
-        pages = load_report_pages(os.path.join(report_dir, file_name))
+        pages = load_report_pages(os.path.join(report_dir, file_name),
+                                  with_images=False)
         for caption in report_corpus_captions(pages):
             toks = tokenize(caption)
             if toks:
@@ -157,7 +164,7 @@ def regulation_lines(pdf_path: str) -> List[str]:
     from construction_clip_tpu.data.etl import load_report_pages
     from construction_clip_tpu.data.report_parse import regulation_text_lines
 
-    pages = load_report_pages(pdf_path)
+    pages = load_report_pages(pdf_path, with_images=False)
     lines = []
     for text in regulation_text_lines(p.text for p in pages):
         toks = tokenize(text)

@@ -148,8 +148,12 @@ def convert_docx(root: str, *, output_folder: str = "output_doc",
     return anns
 
 
-def load_report_pages(pdf_path: str):
-    """Open one report PDF into the parser's page model (requires PyMuPDF)."""
+def load_report_pages(pdf_path: str, *, with_images: bool = True):
+    """Open one report PDF into the parser's page model (requires PyMuPDF).
+
+    with_images=False skips decoding the embedded photo bytes and stores only
+    placeholders with the right COUNT — the corpus builders need captions per
+    image index, not pixels, and a report's photos can dwarf its text."""
     try:
         import fitz
     except ImportError as e:
@@ -163,8 +167,11 @@ def load_report_pages(pdf_path: str):
     for page in pdf:
         images = []
         for img in page.get_images():
-            base = pdf.extract_image(img[0])
-            images.append(ReportImage(ext=base["ext"], data=base["image"]))
+            if with_images:
+                base = pdf.extract_image(img[0])
+                images.append(ReportImage(ext=base["ext"], data=base["image"]))
+            else:
+                images.append(ReportImage(ext="", data=b""))
         pages.append(ReportPage(text=page.get_text("text"), images=images))
     return pages
 

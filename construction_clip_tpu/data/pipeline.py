@@ -42,7 +42,9 @@ def host_shape_unify(img: np.ndarray, size: int) -> np.ndarray:
         ys = (np.arange(nh) * (h / nh)).astype(np.int32).clip(0, h - 1)
         xs = (np.arange(nw) * (w / nw)).astype(np.int32).clip(0, w - 1)
         img = img[ys][:, xs]
-        top, left = (nh - size) // 2, (nw - size) // 2
+        # torchvision CenterCrop margin rounding (int(round(m/2)), not m//2) —
+        # keeps the staging crop aligned with preprocess.py and native/
+        top, left = int(round((nh - size) / 2.0)), int(round((nw - size) / 2.0))
         img = img[top: top + size, left: left + size]
     return img
 

@@ -21,6 +21,8 @@ sticky behavior with an explicit initial value instead of a crash.
 
 from __future__ import annotations
 
+import os
+
 import dataclasses
 from typing import Iterable, List, Optional, Sequence, Tuple
 
@@ -67,7 +69,13 @@ def detect_report_type(page_texts: Iterable[str]) -> str:
 def project_name_from_filename(file_name: str) -> str:
     """'20200921-邱董至大埔美榮勝廠房-品質及勞安查核報告.pdf' -> '大埔美榮勝廠房'
     (reference image.py:42)."""
-    return file_name.strip().split("-")[-2].split("至")[-1].strip()
+    parts = file_name.strip().split("-")
+    if len(parts) < 2:
+        # reference image.py:42 assumes '<proj>-<period>-<name>.pdf' and would
+        # IndexError here; a misnamed file degrades to its stem instead of
+        # killing a whole-directory ETL walk
+        return os.path.splitext(file_name.strip())[0]
+    return parts[-2].split("至")[-1].strip()
 
 
 def parse_report_caption(page_text: str, rtype: str, image_index: int,
@@ -162,7 +170,9 @@ def parse_report(file_name: str, pages: Sequence[ReportPage], *,
 def report_corpus_captions(pages: Sequence[ReportPage]) -> List[str]:
     """Caption text for the tokenizer corpus — reference corpus.py:83-119: every
     image on pages 2+ contributes its parsed caption (no caption_type, no first-
-    image skip, no skip-word filter; type D always takes the C-style chain)."""
+    image skip, no skip-word filter). Layout D runs its full chain here too —
+    工地現況 split + insert('0') + image-index selection (reference
+    corpus.py:104-117), same as the annotation path."""
     rtype = detect_report_type(p.text for p in pages)
     out: List[str] = []
     if rtype == "E":

@@ -173,13 +173,18 @@ def load_torch_checkpoint(path: str, *, allow_pickle: bool = False):
     code from the file, so it is gated behind allow_pickle (or CCTPU_UNSAFE_PICKLE=1).
     """
     import os
+    import pickle
 
     import torch
 
     allow_pickle = allow_pickle or os.environ.get("CCTPU_UNSAFE_PICKLE") == "1"
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
     try:
         obj = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except (RuntimeError, pickle.UnpicklingError):
+        # only unpickling-shaped failures mean "needs full pickle"; IO errors etc.
+        # propagate as themselves instead of a misleading unsafe-pickle hint
         if not allow_pickle:
             raise ValueError(
                 f"{path} is not a plain state_dict; loading it requires full pickle "

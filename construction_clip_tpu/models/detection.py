@@ -265,12 +265,13 @@ def init_fasterrcnn(key, *, num_classes: int = 8, fpn_channels: int = 256,
 
 @functools.partial(jax.jit, static_argnames=(
     "image_size", "pre_nms_topk", "post_nms_topk", "detections_per_img",
-    "num_classes"))
+    "num_classes", "rpn_nms_candidates"))
 def fasterrcnn_infer(params, image, *, image_size: int = 800,
                      pre_nms_topk: int = 1000, post_nms_topk: int = 300,
                      detections_per_img: int = 100, num_classes: int = 8,
                      rpn_nms_thresh: float = 0.7, box_nms_thresh: float = 0.5,
-                     score_thresh: float = 0.05) -> Detections:
+                     score_thresh: float = 0.05,
+                     rpn_nms_candidates: int = 2000) -> Detections:
     """image [S,S,3] float in [0,1] (square-staged). Returns fixed-size Detections;
     empty slots have score 0 / label 0."""
     x = (image - jnp.asarray(IMAGE_MEAN)) / jnp.asarray(IMAGE_STD)
@@ -307,8 +308,13 @@ def fasterrcnn_infer(params, image, *, image_size: int = 800,
     # per-LEVEL NMS (torchvision batched_nms semantics: proposals never suppress
     # across FPN levels) via the coordinate-offset trick
     nms_boxes = boxes + (lvls * (image_size + 2.0))[:, None]
+    # suppress over the top rpn_nms_candidates only: the full 5-level candidate
+    # set (5 x pre_nms_topk) would build a 5000^2 IoU matrix and a 5000-step
+    # sequential loop; results differ from all-candidates NMS only if more than
+    # (candidates - post_nms_topk) of the top candidates suppress each other
     idx, keep = nms_mask(nms_boxes, scores, iou_threshold=rpn_nms_thresh,
-                         max_out=post_nms_topk)
+                         max_out=post_nms_topk,
+                         num_candidates=rpn_nms_candidates)
     proposals = boxes[idx] * keep[:, None]               # [post_nms_topk, 4]
 
     # ---- ROI heads: FPN level assignment (eq.1: k = 4 + log2(sqrt(area)/224))

@@ -94,7 +94,10 @@ class PredictService:
         with self._cv:
             self._pending.append((staged, done, slot))
             self._cv.notify()
-        done.wait()
+        # bounded wait: if the batcher thread ever dies, fail fast instead of
+        # hanging every subsequent request on an event nobody will set
+        if not done.wait(timeout=300.0):
+            raise RuntimeError("predict batcher did not respond within 300 s")
         if slot[1] is not None:
             raise slot[1]
         return slot[0]

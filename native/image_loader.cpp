@@ -161,8 +161,16 @@ int cctpu_decode_resize_crop(const uint8_t* data, long len, int out_size,
   scaled.resize(static_cast<size_t>(tw) * th * 3);
   box_resize(full.data(), w, h, scaled.data(), tw, th);
 
-  const int top = (th - out_size) / 2;
-  const int left = (tw - out_size) / 2;
+  // torchvision CenterCrop margin = int(round(m / 2.0)) in Python, which is
+  // banker's rounding: odd margins round the .5 to the EVEN half. Matches
+  // data/pipeline.host_shape_unify and data/preprocess.center_crop.
+  auto crop_off = [](int m) {
+    int half = m / 2;
+    if ((m & 1) && (half & 1)) ++half;  // x.5 rounds to even
+    return half;
+  };
+  const int top = crop_off(th - out_size);
+  const int left = crop_off(tw - out_size);
   for (int y = 0; y < out_size; ++y) {
     std::memcpy(out + static_cast<size_t>(y) * out_size * 3,
                 scaled.data() + ((static_cast<size_t>(top + y) * tw) + left) * 3,
