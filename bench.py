@@ -77,6 +77,13 @@ def main():
     _ = np.asarray(out)
     log("compiled")
 
+    # the first post-compile iterations through the TPU runtime are ~15x slow
+    # (pipeline warm-up, see .claude/skills/verify/SKILL.md) — warm them OUT of
+    # the timed window instead of averaging them in
+    for _ in range(5):
+        out = enc(params, imgs)
+    _ = np.asarray(out[0, 0])
+
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):

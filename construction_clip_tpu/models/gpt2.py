@@ -75,6 +75,20 @@ def init_gpt2(key, cfg: GPT2Config, dtype=jnp.float32):
     }
 
 
+
+
+def _train_unroll(stacked) -> int:
+    """Full scan unroll on TPU for the uncached (training/prefill) paths —
+    measured on v5e ViT-B shapes: XLA optimizes layouts across unrolled layers
+    (fwd+bwd -24%; partial unroll is WORSE than none — see models/blocks.py).
+    The cached decode scan is NOT unrolled: its per-step program is latency-
+    bound elsewhere and unrolling only bloats the while_loop body."""
+    import jax as _jax
+
+    n = _jax.tree.leaves(stacked)[0].shape[0]
+    return n if _jax.default_backend() == "tpu" else 1
+
+
 def _linear(h, w, b):
     """y = h @ W + b, dispatching on the weight leaf: plain array (bf16/fp32
     matmul) or {"q": int8, "s": fp32} from quantize_gpt2 (int8 MXU matmul with
@@ -255,7 +269,8 @@ def gpt2_forward(
 
     if remat:
         body = jax.checkpoint(body)
-    x, ys = jax.lax.scan(body, x, p["blocks"])
+    x, ys = jax.lax.scan(body, x, p["blocks"],
+                         unroll=_train_unroll(p["blocks"]))
 
     x = layer_norm(x, **p["ln_f"], eps=cfg.layer_norm_epsilon)
     logits = _lm_logits(p, x)

@@ -176,7 +176,8 @@ def t5_encode(params, cfg: T5Config, input_ids=None, *, inputs_embeds=None,
         h = h + _ffn(y, bp["ffn"])
         return h, None
 
-    x, _ = jax.lax.scan(body, x, p["encoder"])
+    from construction_clip_tpu.models.gpt2 import _train_unroll
+    x, _ = jax.lax.scan(body, x, p["encoder"], unroll=_train_unroll(p["encoder"]))
     return rms_norm(x, p["enc_final_ln"], eps=cfg.layer_norm_epsilon)
 
 
@@ -319,7 +320,9 @@ def t5_decode(params, cfg: T5Config, decoder_input_ids, encoder_hidden, *,
             hid = cross_and_ffn(hid, bp, kx, vx)
             return hid, None
 
-        x, _ = jax.lax.scan(body, x, p["decoder"])
+        from construction_clip_tpu.models.gpt2 import _train_unroll
+        x, _ = jax.lax.scan(body, x, p["decoder"],
+                            unroll=_train_unroll(p["decoder"]))
         new_cache = None
 
     x = rms_norm(x, p["dec_final_ln"], eps=cfg.layer_norm_epsilon)

@@ -21,6 +21,7 @@ BENCHES = [
     ("decode", [sys.executable, os.path.join(REPO, "tools/bench_decode.py")]),
     ("decode_t5", [sys.executable, os.path.join(REPO, "tools/bench_decode_t5.py")]),
     ("train", [sys.executable, os.path.join(REPO, "tools/bench_train.py")]),
+    ("train_caption", [sys.executable, os.path.join(REPO, "tools/bench_train_caption.py")]),
     ("vitl", [sys.executable, os.path.join(REPO, "tools/bench_vitl.py")]),
     ("serve", [sys.executable, os.path.join(REPO, "tools/bench_serve.py")]),
 ]
