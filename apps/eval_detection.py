@@ -61,25 +61,14 @@ def main():
         preds.append({"boxes": [b for b, _, _ in live],
                       "labels": [l for _, l, _ in live],
                       "scores": [s for _, _, s in live]})
-        # The detector stages via a centered square crop, so only the central
-        # min(h,w) square is visible to it. GT boxes are clipped to that square;
-        # boxes with <50% of their area inside it are excluded (and counted) so
-        # the metric scores the model, not the staging geometry.
+        # Clip GT to the center square that square-staging shows the detector
+        # (boxes mostly outside are excluded and counted) so the metric scores
+        # the model, not the staging geometry.
+        from construction_clip_tpu.infer.detection_eval import clip_gt_to_center_square
         h, w = img.shape[:2]
-        side = min(h, w)
-        x0, y0 = (w - side) / 2, (h - side) / 2
-        boxes, labels = [], []
-        for b, l in zip(a.get("boxes", []), a.get("labels", [])):
-            bx1, by1, bx2, by2 = map(float, b)
-            ix1, iy1 = max(bx1, x0), max(by1, y0)
-            ix2, iy2 = min(bx2, x0 + side), min(by2, y0 + side)
-            inter = max(0.0, ix2 - ix1) * max(0.0, iy2 - iy1)
-            area = max(1e-6, (bx2 - bx1) * (by2 - by1))
-            if inter / area < 0.5:
-                gt_outside += 1
-                continue
-            boxes.append([ix1, iy1, ix2, iy2])
-            labels.append(l)
+        boxes, labels, n_out = clip_gt_to_center_square(
+            a.get("boxes", []), a.get("labels", []), h, w)
+        gt_outside += n_out
         gts.append({"boxes": boxes, "labels": labels})
 
     metrics = evaluate_detections(preds, gts, num_classes=args.num_classes)

@@ -137,3 +137,30 @@ def detections_to_eval_format(det, *, min_score: float = 0.0) -> dict:
     scores = np.asarray(det.scores)
     live = scores > min_score
     return {"boxes": boxes[live], "labels": labels[live], "scores": scores[live]}
+
+
+def clip_gt_to_center_square(boxes, labels, h: int, w: int, *,
+                             min_visible: float = 0.5):
+    """Clip GT boxes to the centered min(h,w) square that square-staging
+    (data/pipeline.host_shape_unify) makes visible to the detector.
+
+    Boxes with less than `min_visible` of their area inside the square are
+    excluded (returned as the third element's count) so mAP scores the model
+    rather than the staging geometry — see apps/eval_detection.py.
+    Returns (clipped_boxes, kept_labels, n_excluded).
+    """
+    side = min(h, w)
+    x0, y0 = (w - side) / 2.0, (h - side) / 2.0
+    out_boxes, out_labels, excluded = [], [], 0
+    for b, l in zip(boxes, labels):
+        bx1, by1, bx2, by2 = map(float, b)
+        ix1, iy1 = max(bx1, x0), max(by1, y0)
+        ix2, iy2 = min(bx2, x0 + side), min(by2, y0 + side)
+        inter = max(0.0, ix2 - ix1) * max(0.0, iy2 - iy1)
+        area = max(1e-6, (bx2 - bx1) * (by2 - by1))
+        if inter / area < min_visible:
+            excluded += 1
+            continue
+        out_boxes.append([ix1, iy1, ix2, iy2])
+        out_labels.append(l)
+    return out_boxes, out_labels, excluded

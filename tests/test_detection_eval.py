@@ -74,3 +74,21 @@ def test_detections_to_eval_format():
                      scores=jnp.asarray([0.7, 0.0], jnp.float32))
     out = detections_to_eval_format(det)
     assert len(out["boxes"]) == 1 and out["labels"][0] == 2
+
+
+def test_clip_gt_to_center_square():
+    from construction_clip_tpu.infer.detection_eval import clip_gt_to_center_square
+
+    # 200x100 (h x w): visible square is x in [0,100] shifted? w<h -> square
+    # side 100, x0=0, y0=50: region y in [50,150]
+    boxes = [
+        [10, 60, 90, 140],    # fully inside -> kept unchanged
+        [10, 0, 90, 40],      # fully above the square -> excluded
+        [10, 40, 90, 140],    # 80% inside -> kept, clipped to y>=50
+    ]
+    labels = [1, 2, 3]
+    out_b, out_l, n_out = clip_gt_to_center_square(boxes, labels, h=200, w=100)
+    assert n_out == 1
+    assert out_l == [1, 3]
+    assert out_b[0] == [10.0, 60.0, 90.0, 140.0]
+    assert out_b[1] == [10.0, 50.0, 90.0, 140.0]
