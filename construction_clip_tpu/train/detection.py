@@ -160,7 +160,10 @@ def detection_loss(params, batch: DetectionBatch, key, *, image_size: int,
         return cls_loss + reg_loss + roi_cls + roi_reg
 
     losses = []
-    keys = jax.random.split(key, batch.images.shape[0])
+    # key: scalar PRNG key (split per image here) OR a pre-split [B] key array —
+    # the DP path pre-splits over the GLOBAL batch so per-image sampling is
+    # identical to single-device regardless of sharding
+    keys = jax.random.split(key, batch.images.shape[0]) if key.ndim == 0 else key
     for b in range(batch.images.shape[0]):
         losses.append(per_image(obj_logits[b], obj_deltas[b],
                                 batch.gt_boxes[b], batch.gt_labels[b], keys[b],
@@ -168,14 +171,55 @@ def detection_loss(params, batch: DetectionBatch, key, *, image_size: int,
     return jnp.mean(jnp.stack(losses))
 
 
-def make_detection_train_step(tx, *, image_size: int, num_classes: int):
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state, batch: DetectionBatch, key):
+def make_detection_train_step(tx, *, image_size: int, num_classes: int,
+                              mesh=None):
+    """Single-device by default; with a mesh whose "data" axis > 1, the batch
+    shards over chips (shard_map) with pmean'd grads/loss — same DP recipe as
+    train/contrastive.py (per-image losses are independent, so DP mean == the
+    single-device batch mean)."""
+    from construction_clip_tpu.core.mesh import DATA_AXIS
+
+    n_data = 1 if mesh is None else mesh.shape[DATA_AXIS]
+
+    def sharded_step(state, images, gt_boxes, gt_labels, keys):
         from construction_clip_tpu.train.state import apply_gradients
 
+        batch = DetectionBatch(images=images, gt_boxes=gt_boxes,
+                               gt_labels=gt_labels)
         loss, grads = jax.value_and_grad(
-            lambda p: detection_loss(p, batch, key, image_size=image_size,
+            lambda p: detection_loss(p, batch, keys, image_size=image_size,
                                      num_classes=num_classes))(state.params)
+        if n_data > 1:
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
         return apply_gradients(state, grads, tx), {"loss": loss}
+
+    if n_data > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax import shard_map
+
+        inner = shard_map(
+            sharded_step, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+        @functools.partial(
+            jax.jit,
+            out_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())),
+            donate_argnums=(0,))
+        def step(state, batch: DetectionBatch, key):
+            # split per-image keys over the GLOBAL batch, then shard them
+            keys = jax.random.split(key, batch.images.shape[0])
+            return inner(state, batch.images, batch.gt_boxes, batch.gt_labels,
+                         keys)
+
+        return step
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch: DetectionBatch, key):
+        return sharded_step(state, batch.images, batch.gt_boxes,
+                            batch.gt_labels, key)  # scalar key: split in loss
 
     return step

@@ -78,3 +78,44 @@ def test_train_step_reduces_loss(rng):
         losses.append(float(m["loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0], losses
+
+
+def test_dp_matches_single_device():
+    """8-way DP detection step == single device (loss and updated params)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from construction_clip_tpu.core.mesh import create_mesh, DATA_AXIS, MODEL_AXIS
+    from construction_clip_tpu.models.detection import init_fasterrcnn
+    from construction_clip_tpu.train.detection import (DetectionBatch,
+                                                       make_detection_train_step)
+    from construction_clip_tpu.train.state import TrainState, make_adamw
+
+    B, S = 8, 64
+    rng = np.random.default_rng(0)
+    batch = DetectionBatch(
+        images=jnp.asarray(rng.random((B, S, S, 3)).astype(np.float32)),
+        gt_boxes=jnp.asarray(
+            np.tile(np.array([[4.0, 4.0, 30.0, 30.0]], np.float32), (B, 2, 1))),
+        gt_labels=jnp.ones((B, 2), jnp.int32),
+    )
+    tx = make_adamw(1e-4, warmup_steps=0, total_steps=10)
+    key = jax.random.key(3)
+
+    params = init_fasterrcnn(jax.random.key(0), num_classes=4)
+    single = make_detection_train_step(tx, image_size=S, num_classes=4)
+    s1, m1 = single(TrainState.create(params, tx), batch, key)
+
+    mesh = create_mesh({DATA_AXIS: 8, MODEL_AXIS: 1})
+    params = init_fasterrcnn(jax.random.key(0), num_classes=4)
+    dp = make_detection_train_step(tx, image_size=S, num_classes=4, mesh=mesh)
+    s8, m8 = dp(TrainState.create(params, tx), batch, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    # pmean vs single-device batch-mean reduce in different orders; AdamW's
+    # grad/sqrt(v) amplifies the fp noise on near-zero grads -> loose atol
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=5e-4)
