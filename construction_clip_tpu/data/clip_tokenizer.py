@@ -139,6 +139,15 @@ class ClipTokenizer:
     def vocab_size(self) -> int:
         return len(self.encoder)
 
+    # OpenAI-convention aliases (the real-weight hook tests use these names)
+    @property
+    def sot_token(self) -> int:
+        return self.sot
+
+    @property
+    def eot_token(self) -> int:
+        return self.eot
+
     def _bpe(self, word: str) -> List[str]:
         if word in self._cache:
             return self._cache[word]

@@ -132,12 +132,22 @@ def beam_decode(params, gcfg: GPT2Config, embeds, *, beam_size: int = 3,
                 max_steps: int = 100, stop_token: int = 102,
                 temperature: float = 0.5,
                 policy: Policy = DEFAULT_POLICY) -> DecodeResult:
-    """Batched beam search, beams folded into the batch dim, cache reordered by
-    gather each step. Returns beams sorted by normalized score (desc), matching
-    reference generate_beam's output ordering."""
+    """Batched beam search, beams folded into the batch dim, with a LAZY
+    beam-ancestry cache: the KV cache is never physically reordered. Each beam
+    writes its new k/v rows at its own (fixed) batch row; a tiny int32 ancestry
+    map anc[b, beam, t] records which physical row holds beam's history at
+    position t, and attention gathers through it at read time
+    (models/gpt2._attn_over_cache). Round 2 reordered the full [L,B*beam,H,T,Dh]
+    cache every step (a one-hot einsum, ~250 MB of extra HBM read+write at
+    T~140) — lazy ancestry replaces that with a [B*beam, T] int32 carry update,
+    leaving the unavoidable attention read as the only cache traffic.
+
+    Returns beams sorted by normalized score (desc), matching reference
+    generate_beam's output ordering (test.py:353-440)."""
     b = embeds.shape[0]
     v = gcfg.vocab_size
     last, cache = _prefill(params, gcfg, embeds, max_steps, policy)
+    t_total = cache.k.shape[3]
 
     # step 0: top-k over the prompt's next-token distribution
     logp0 = jax.nn.log_softmax(last.astype(jnp.float32) / temperature, axis=-1)
@@ -150,18 +160,28 @@ def beam_decode(params, gcfg: GPT2Config, embeds, *, beam_size: int = 3,
     seq_len = jnp.ones((b, beam_size), jnp.float32)
     stopped = nxt == stop_token
 
+    # own[b, j] = global cache row of (batch b, beam j); prompt positions were
+    # replicated per beam, so every beam's ancestry starts as its own row
+    own = (jnp.arange(b)[:, None] * beam_size
+           + jnp.arange(beam_size)[None, :]).astype(jnp.int32)
+    anc = jnp.broadcast_to(own[..., None], (b, beam_size, t_total))
+
     stop_row = jnp.full((v,), NEG_INF).at[0].set(0.0)  # forced token 0, zero score
 
     def cond(s):
-        step, *_ , stopped, _ = s
+        step, *_, stopped, _, _ = s
         return (step < max_steps) & ~jnp.all(stopped)
 
     def body(s):
-        step, toks, scores, seq_len, stopped, cache = s
+        step, toks, scores, seq_len, stopped, cache, anc = s
+        # this step's k/v rows land at each beam's own row, position cache.length
+        anc2 = jax.lax.dynamic_update_slice(anc, own[..., None], (0, 0, cache.length))
         flat_last = jax.lax.dynamic_slice_in_dim(toks, step - 1, 1, axis=2)  # [B,beam,1]
         logits, new_cache = gpt2_forward(params, gcfg,
                                          tokens=flat_last.reshape(b * beam_size, 1),
-                                         cache=cache, policy=policy)
+                                         cache=cache,
+                                         cache_ancestry=anc2.reshape(b * beam_size, t_total),
+                                         policy=policy)
         logp = jax.nn.log_softmax(
             logits[:, 0].astype(jnp.float32) / temperature, axis=-1
         ).reshape(b, beam_size, v)
@@ -177,22 +197,12 @@ def beam_decode(params, gcfg: GPT2Config, embeds, *, beam_size: int = 3,
         toks = jax.lax.dynamic_update_slice_in_dim(toks, tok[..., None], step, axis=2)
         scores = top_avg * seq_len
         stopped = jnp.take_along_axis(stopped, src, axis=1) | (tok == stop_token)
-        order = (jnp.arange(b)[:, None] * beam_size + src).reshape(-1)
-        # beam-ancestry cache reorder as a one-hot matmul instead of a gather
-        # (exact: one nonzero per row). Isolated on v5e the gather moves the
-        # [L,B*beam,H,T,Dh] cache at 2.9 ms vs 1.1 ms for the einsum; in-situ
-        # (partially overlapped inside the while_loop) it nets 4.69->4.37
-        # ms/step, 1,704->1,829 tok/s beam-3 @ B=8.
-        oh = jax.nn.one_hot(order, b * beam_size, dtype=new_cache.k.dtype)
-        reorder = lambda z: jnp.einsum(
-            "bc,lchtd->lbhtd", oh, z,
-            preferred_element_type=jnp.float32).astype(z.dtype)
-        new_cache = KVCache(k=reorder(new_cache.k), v=reorder(new_cache.v),
-                            length=new_cache.length)
-        return step + 1, toks, scores, seq_len, stopped, new_cache
+        # lazy reorder: new beam j' inherits ancestor src[j']'s full ancestry row
+        anc2 = jnp.take_along_axis(anc2, src[..., None], axis=1)
+        return step + 1, toks, scores, seq_len, stopped, new_cache, anc2
 
-    init = (jnp.ones((), jnp.int32), toks, scores, seq_len, stopped, cache)
-    _, toks, scores, seq_len, stopped, _ = jax.lax.while_loop(cond, body, init)
+    init = (jnp.ones((), jnp.int32), toks, scores, seq_len, stopped, cache, anc)
+    _, toks, scores, seq_len, stopped, _, _ = jax.lax.while_loop(cond, body, init)
 
     norm = scores / seq_len
     order = jnp.argsort(-norm, axis=1)

@@ -153,16 +153,27 @@ def _attn_uncached(q, k, v, attn_bias, return_probs: bool = False):
     return out, (probs if return_probs else None)
 
 
-def _attn_over_cache(q, ck, cv, cache_len, attn_bias):
+def _attn_over_cache(q, ck, cv, cache_len, attn_bias, ancestry=None):
     """q [B,H,t,Dh] over the (already-updated) full cache window [B,H,T_max,Dh]
     with validity+causal masking.
 
     t==1 (the decode step) takes a multiply-reduce path instead of dot_general:
     M=1 batched matmuls lower to ~B*H latency-bound MXU dispatches, while the
-    broadcastal q*k sum and p*v sum fuse into two VPU kernels."""
+    broadcastal q*k sum and p*v sum fuse into two VPU kernels.
+
+    ancestry: optional [B, T_max] int32 row indices for LAZY beam-search cache
+    reorder — query row i attends to cache row ancestry[i, t] at position t
+    (its beam's ancestor at that step) instead of its own row. The gather fuses
+    into the attention reduce, so beam ancestry costs ~one cache read instead
+    of the read+write of physically reordering [L,B,H,T,Dh] every step
+    (infer/decode.py beam_decode; reference semantics test.py:395-421)."""
     t_new = q.shape[2]
     t_max = ck.shape[2]
     if t_new == 1:
+        if ancestry is not None:
+            idx = ancestry[:, None, :, None]  # [B,1,T,1] -> broadcast over H, Dh
+            ck = jnp.take_along_axis(ck, idx, axis=0)
+            cv = jnp.take_along_axis(cv, idx, axis=0)
         qf = q[:, :, 0, :].astype(jnp.float32) * (q.shape[-1] ** -0.5)
         logits = jnp.sum(qf[:, :, None, :] * ck.astype(jnp.float32), axis=-1)
         k_pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
@@ -196,6 +207,7 @@ def gpt2_forward(
     inputs_embeds: Optional[jax.Array] = None,
     attn_bias: Optional[jax.Array] = None,
     cache: Optional[KVCache] = None,
+    cache_ancestry: Optional[jax.Array] = None,
     policy: Policy = DEFAULT_POLICY,
     remat: bool = False,
     return_probs: bool = False,
@@ -238,7 +250,7 @@ def gpt2_forward(
                 cv_all, v.astype(cv_all.dtype)[None], (l, 0, 0, start, 0))
             ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
             cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
-            out = _attn_over_cache(q, ck, cv, start, attn_bias)
+            out = _attn_over_cache(q, ck, cv, start, attn_bias, cache_ancestry)
             h = h + _linear(merge_heads(out), lp["attn"]["c_proj_w"],
                             lp["attn"]["c_proj_b"])
             y = layer_norm(h, **lp["ln_2"], eps=cfg.layer_norm_epsilon)

@@ -63,6 +63,10 @@ class PredictService:
         padded = 1
         while padded < n:
             padded *= 2
+        # never exceed the configured device cap: with a non-power-of-two
+        # max_batch (e.g. 12), a 9-request drain would otherwise pad to 16 and
+        # run an unwarmed compile shape larger than the cap
+        padded = min(padded, self._max_batch)
         staged_list = list(staged_list) + [staged_list[-1]] * (padded - n)
         size = self.pipe.clip_cfg.vision.image_size
         imgs = preprocess_batch(np.stack(staged_list), size)
