@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 REFERENCE_GPU_IMG_S = 400.0  # torch fp32 ViT-B/32 on the reference's single GPU (proxy)
 
@@ -72,32 +71,24 @@ def main():
 
     enc = jax.jit(lambda p, x: encode_image(p, cfg, x, policy=BF16_POLICY,
                                             normalize=True))
-    # warmup / compile (synced via host transfer)
-    out = enc(params, imgs)
-    _ = np.asarray(out)
-    log("compiled")
+    # median over 5 windows of 20 iters, spread recorded — point estimates hid
+    # an ~8% run-to-run spread through the tunnel in rounds 1-2 (VERDICT r2)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from bench_util import timed_windows
 
-    # the first post-compile iterations through the TPU runtime are ~15x slow
-    # (pipeline warm-up, see .claude/skills/verify/SKILL.md) — warm them OUT of
-    # the timed window instead of averaging them in
-    for _ in range(5):
-        out = enc(params, imgs)
-    _ = np.asarray(out[0, 0])
-
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = enc(params, imgs)
-    _ = np.asarray(out)  # in-order execution: syncing the last bounds all
-    dt = (time.perf_counter() - t0) / iters
-    img_s = BATCH / dt
-    log(f"batch={BATCH} {dt*1e3:.2f} ms/iter -> {img_s:.0f} img/s")
+    med, lo, hi = timed_windows(lambda: enc(params, imgs), windows=5, iters=20,
+                                sync=lambda o: np.asarray(o[0, 0]))
+    img_s = BATCH / med
+    log(f"batch={BATCH} {med*1e3:.2f} ms/iter (min {lo*1e3:.2f} max {hi*1e3:.2f}) "
+        f"-> {img_s:.0f} img/s")
 
     print(json.dumps({
         "metric": "CLIP ViT-B/32 image encode throughput (bf16, batch 256)",
         "value": round(img_s, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / REFERENCE_GPU_IMG_S, 2),
+        "minmax": [round(BATCH / hi, 1), round(BATCH / lo, 1)],
+        "windows": 5,
     }))
 
 

@@ -57,21 +57,19 @@ def main():
                             policy=BF16_POLICY)
         return jnp.concatenate([emb, attr], axis=1)
 
+    from bench_util import timed_windows, put_rate
+
     def timeit(fn, iters=5):
-        out = fn()
-        _ = np.asarray(jax.tree.leaves(out)[0])  # sync incl. compile
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        _ = np.asarray(jax.tree.leaves(out)[0])
-        return (time.perf_counter() - t0) / iters
+        """median [min,max] per-call seconds over 5 windows (bench_util)."""
+        return timed_windows(fn, windows=5, iters=iters, warmup=2)
 
     for b in (1, 32):
         e = prompt(b)
-        dt = timeit(lambda: greedy_decode(params["gpt"], gcfg, e, max_steps=STEPS,
+        st = timeit(lambda: greedy_decode(params["gpt"], gcfg, e, max_steps=STEPS,
                                           stop_token=-1, policy=BF16_POLICY))
-        results[f"greedy_b{b}_tok_s"] = round(b * STEPS / dt, 1)
-        log(f"greedy b={b}: {dt*1e3:.0f} ms -> {b*STEPS/dt:.0f} tok/s")
+        put_rate(results, f"greedy_b{b}_tok_s", st, b * STEPS)
+        log(f"greedy b={b}: {st[0]*1e3:.0f} ms -> {b*STEPS/st[0]:.0f} tok/s "
+            f"[{results[f'greedy_b{b}_tok_s_minmax']}]")
 
     # weight-only int8 serving decode (models/gpt2.quantize_gpt2): halves the
     # per-step HBM weight reads that bound the batched path
@@ -80,30 +78,29 @@ def main():
     qgpt = quantize_gpt2(params["gpt"])
     for b in (1, 32):
         e = prompt(b)
-        dt = timeit(lambda: greedy_decode(qgpt, gcfg, e, max_steps=STEPS,
+        st = timeit(lambda: greedy_decode(qgpt, gcfg, e, max_steps=STEPS,
                                           stop_token=-1, policy=BF16_POLICY))
-        results[f"greedy_int8_b{b}_tok_s"] = round(b * STEPS / dt, 1)
-        log(f"greedy int8 b={b}: {dt*1e3:.0f} ms -> {b*STEPS/dt:.0f} tok/s")
+        put_rate(results, f"greedy_int8_b{b}_tok_s", st, b * STEPS)
+        log(f"greedy int8 b={b}: {st[0]*1e3:.0f} ms -> {b*STEPS/st[0]:.0f} tok/s")
 
     e8 = prompt(8)
-    dt = timeit(lambda: beam_decode(params["gpt"], gcfg, e8, beam_size=3,
+    st = timeit(lambda: beam_decode(params["gpt"], gcfg, e8, beam_size=3,
                                     max_steps=STEPS, stop_token=-1,
                                     temperature=0.5, policy=BF16_POLICY), iters=3)
-    results["beam3_b8_tok_s"] = round(8 * STEPS / dt, 1)
-    log(f"beam3 b=8: {dt*1e3:.0f} ms -> {8*STEPS/dt:.0f} tok/s")
+    put_rate(results, "beam3_b8_tok_s", st, 8 * STEPS)
+    log(f"beam3 b=8: {st[0]*1e3:.0f} ms -> {8*STEPS/st[0]:.0f} tok/s "
+        f"[{results['beam3_b8_tok_s_minmax']}]")
 
     # reference-style: full-sequence re-forward per token (final-step cost)
     T = 40 + STEPS
     full = jax.jit(lambda p, x: gpt2_forward(p, gcfg, inputs_embeds=x,
                                              policy=BF16_POLICY)[0])
     x = jax.random.normal(jax.random.key(2), (1, T, gcfg.n_embd), dtype=jnp.bfloat16)
-    _ = np.asarray(full(params["gpt"], x))
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        out = full(params["gpt"], x)
-    _ = np.asarray(out)
-    ref_dt = time.perf_counter() - t0
-    results["reference_style_nocache_b1_tok_s"] = round(STEPS / ref_dt, 1)
+    st = timed_windows(lambda: full(params["gpt"], x), windows=5, iters=STEPS,
+                       warmup=2)
+    ref_dt = st[0] * STEPS
+    put_rate(results, "reference_style_nocache_b1_tok_s",
+             (st[0] * STEPS, st[1] * STEPS, st[2] * STEPS), STEPS)
     results["kv_cache_speedup_b1"] = round(
         results["greedy_b1_tok_s"] / results["reference_style_nocache_b1_tok_s"], 2)
     log(f"reference-style no-cache b=1: {ref_dt:.2f}s for {STEPS} tokens "

@@ -48,16 +48,10 @@ def main():
                                 jnp.bfloat16)
         fn = lambda: t5_generate(params, cfg, enc, max_steps=STEPS, do_sample=False,
                                  policy=BF16_POLICY)
-        out = fn()
-        _ = np.asarray(jax.tree.leaves(out)[0])
-        t0 = time.perf_counter()
-        iters = 5
-        for _ in range(iters):
-            out = fn()
-        _ = np.asarray(jax.tree.leaves(out)[0])
-        dt = (time.perf_counter() - t0) / iters
-        results[f"t5_greedy_b{b}_tok_s"] = round(b * STEPS / dt, 1)
-        log(f"t5 greedy b={b}: {dt*1e3:.0f} ms -> {b*STEPS/dt:.0f} tok/s")
+        from bench_util import timed_windows, put_rate
+        st = timed_windows(fn, windows=5, iters=5, warmup=2)
+        put_rate(results, f"t5_greedy_b{b}_tok_s", st, b * STEPS)
+        log(f"t5 greedy b={b}: {st[0]*1e3:.0f} ms -> {b*STEPS/st[0]:.0f} tok/s")
 
     print(json.dumps(results))
 

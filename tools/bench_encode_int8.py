@@ -47,19 +47,15 @@ def main():
     out = enc_q(qp, imgs)
     _ = np.asarray(out)
     log("int8 compiled")
+    from bench_util import timed_windows, put_ms, put_rate
+
     for name, enc, pp in (("int8", enc_q, qp),):
-        for _ in range(5):
-            out = enc(pp, imgs)
-        _ = np.asarray(out[0, 0])
-        iters = 30
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = enc(pp, imgs)
-        _ = np.asarray(out[0, 0])
-        dt = (time.perf_counter() - t0) / iters
-        results[f"{name}_img_s"] = round(BATCH / dt, 1)
-        results[f"{name}_ms_batch"] = round(dt * 1e3, 2)
-        log(f"{name}: {dt*1e3:.2f} ms/batch -> {BATCH/dt:.0f} img/s")
+        st = timed_windows(lambda: enc(pp, imgs), windows=5, iters=20,
+                           sync=lambda o: np.asarray(o[0, 0]))
+        put_rate(results, f"{name}_img_s", st, BATCH)
+        put_ms(results, f"{name}_ms_batch", st)
+        log(f"{name}: {st[0]*1e3:.2f} ms/batch [{st[1]*1e3:.2f},{st[2]*1e3:.2f}] "
+            f"-> {BATCH/st[0]:.0f} img/s")
 
     # agreement vs the bf16 path on the same inputs
     pbf = jax.tree.map(

@@ -54,23 +54,22 @@ def main():
             "tokens": toks,
         }
         try:
-            # warm thoroughly: the first post-compile iterations through the TPU
-            # runtime are slow (pipeline warm-up) and would pollute the mean
-            for _ in range(5):
-                state, m = step(state, batch)
-            _ = float(m["loss"])
-            iters = 20
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                state, m = step(state, batch)
-            _ = np.asarray(state.step)
-            dt = (time.perf_counter() - t0) / iters
-            key = f"step_ms_b{batch_size}" + ("_remat" if remat else "")
-            results[key] = round(dt * 1e3, 1)
-            results[f"train_img_s_b{batch_size}" + ("_remat" if remat else "")] = \
-                round(batch_size / dt, 1)
-            log(f"b={batch_size} remat={remat}: {dt*1e3:.1f} ms/step "
-                f"({batch_size/dt:.0f} img/s)")
+            from bench_util import timed_windows, put_ms, put_rate
+
+            holder = [state]
+
+            def one():
+                s, m = step(holder[0], batch)
+                holder[0] = s
+                return m["loss"]
+
+            st = timed_windows(one, windows=5, iters=10, warmup=5,
+                               sync=lambda o: np.asarray(o))
+            tag = ("_remat" if remat else "")
+            put_ms(results, f"step_ms_b{batch_size}" + tag, st, ndigits=1)
+            put_rate(results, f"train_img_s_b{batch_size}" + tag, st, batch_size)
+            log(f"b={batch_size} remat={remat}: {st[0]*1e3:.1f} ms/step "
+                f"[{st[1]*1e3:.1f},{st[2]*1e3:.1f}] ({batch_size/st[0]:.0f} img/s)")
         except Exception as e:  # OOM at large batch is informative, not fatal
             log(f"b={batch_size} remat={remat}: {type(e).__name__}: {e}")
             results[f"step_b{batch_size}_error"] = type(e).__name__

@@ -44,15 +44,21 @@ def main():
     results = {}
     B, T = 64, 60
 
-    def timeit(step, state, *args, iters=15, warm=5):
-        for _ in range(warm):
-            state, m = step(state, *args)
-        _ = float(m["loss"])
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, m = step(state, *args)
-        _ = np.asarray(state.step)
-        return (time.perf_counter() - t0) / iters, float(m["loss"])
+    from bench_util import timed_windows
+
+    def timeit(step, state, *args, iters=10, warm=5):
+        """median [min,max] seconds/step over 5 windows + final loss."""
+        holder = [state]
+
+        def one():
+            s, m = step(holder[0], *args)
+            holder[0] = s
+            return m["loss"]
+
+        st = timed_windows(one, windows=5, iters=iters, warmup=warm,
+                           sync=lambda o: np.asarray(o))
+        loss = float(step(holder[0], *args)[1]["loss"])
+        return st, loss
 
     gcfg = GPT2Config()
     rng = np.random.default_rng(0)
@@ -70,11 +76,12 @@ def main():
             state = TrainState.create(params, tx)
             frozen = None
         batch = {"tokens": tokens, "prefix": prefix, "attribute": attr}
-        dt, loss = timeit(step, state, frozen, batch)
+        st, loss = timeit(step, state, frozen, batch)
         name = "clipcap_frozen" if only_prefix else "clipcap_full"
-        results[f"{name}_step_ms_b{B}"] = round(dt * 1e3, 1)
-        results[f"{name}_seq_s_b{B}"] = round(B / dt, 1)
-        log(f"{name}: {dt*1e3:.1f} ms/step ({B/dt:.0f} seq/s, loss {loss:.3f})")
+        from bench_util import put_ms, put_rate
+        put_ms(results, f"{name}_step_ms_b{B}", st, ndigits=1)
+        put_rate(results, f"{name}_seq_s_b{B}", st, B)
+        log(f"{name}: {st[0]*1e3:.1f} ms/step ({B/st[0]:.0f} seq/s, loss {loss:.3f})")
         del state, step, params
 
     tcfg = T5Config()
@@ -86,10 +93,11 @@ def main():
     mask = jnp.ones((B, 32), jnp.int32)
     batch = {"input_ids": ids, "attention_mask": mask,
              "prefix": jax.random.normal(jax.random.key(2), (B, 512))}
-    dt, loss = timeit(step, state, None, batch)
-    results[f"t5_full_step_ms_b{B}"] = round(dt * 1e3, 1)
-    results[f"t5_full_seq_s_b{B}"] = round(B / dt, 1)
-    log(f"t5_full: {dt*1e3:.1f} ms/step ({B/dt:.0f} seq/s, loss {loss:.3f})")
+    st, loss = timeit(step, state, None, batch)
+    from bench_util import put_ms, put_rate
+    put_ms(results, f"t5_full_step_ms_b{B}", st, ndigits=1)
+    put_rate(results, f"t5_full_seq_s_b{B}", st, B)
+    log(f"t5_full: {st[0]*1e3:.1f} ms/step ({B/st[0]:.0f} seq/s, loss {loss:.3f})")
 
     print(json.dumps(results))
 

@@ -31,10 +31,17 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="BENCH_SNAPSHOT.json")
     p.add_argument("--timeout", type=int, default=3600, help="per bench, seconds")
+    p.add_argument("--only", nargs="*", default=None,
+                   help="re-run only these benches, merging into the existing "
+                        "snapshot (other entries kept)")
     args = p.parse_args()
 
     results = {}
-    for name, cmd in BENCHES:
+    if args.only and os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+    benches = [(n, c) for n, c in BENCHES if not args.only or n in args.only]
+    for name, cmd in benches:
         print(f"=== {name} ===", file=sys.stderr, flush=True)
         try:
             r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
@@ -47,8 +54,18 @@ def main():
             results[name] = {"error": "timeout"}
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
+    # docs quote ONLY these numbers: regenerate the README/BASELINE tables
+    import update_docs
+
+    ok = True
+    try:
+        update_docs.main_with_snapshot(args.out)
+    except Exception as e:
+        print(f"update_docs failed: {e}", file=sys.stderr)
+        ok = False
     print(json.dumps(results))
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
