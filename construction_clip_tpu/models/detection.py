@@ -263,6 +263,51 @@ def init_fasterrcnn(key, *, num_classes: int = 8, fpn_channels: int = 256,
     }
 
 
+def rpn_propose(params, p_feats, *, image_size: int, pre_nms_topk: int,
+                post_nms_topk: int, rpn_nms_thresh: float = 0.7,
+                rpn_nms_candidates: int = 2000):
+    """RPN proposal stage shared by inference and torchvision-faithful training
+    (torchvision RegionProposalNetwork.filter_proposals semantics): per-level
+    top-k on raw objectness, decode+clip, drop degenerate boxes, per-LEVEL NMS
+    (batched_nms via the coordinate-offset trick), keep top post_nms_topk by
+    score. Returns (proposals [post_nms_topk, 4], keep mask [post_nms_topk]).
+
+    NMS suppresses over the top rpn_nms_candidates only: the full 5-level
+    candidate set would build a quadratic IoU matrix and a long sequential
+    loop; results differ from all-candidates NMS only if more than
+    (candidates - post_nms_topk) of the top candidates suppress each other."""
+    all_scores, all_boxes, all_lvls = [], [], []
+    for lvl, feat in enumerate(p_feats):
+        stride = 4 * (2 ** lvl)
+        h, w = feat.shape[1], feat.shape[2]
+        t = jax.nn.relu(_conv(feat, params["rpn"]["conv"]["w"]) +
+                        params["rpn"]["conv"]["b"])
+        logits = (t @ params["rpn"]["cls"]["w"] + params["rpn"]["cls"]["b"])[0]
+        deltas = (t @ params["rpn"]["bbox"]["w"] + params["rpn"]["bbox"]["b"])[0]
+        logits = logits.reshape(-1)                      # [h*w*a]
+        deltas = deltas.reshape(-1, 4)
+        anchors = level_anchors(h, w, stride, ANCHOR_SIZES[lvl])
+        # per-level top-k before decode (torchvision does per-level topk)
+        k = min(pre_nms_topk, logits.shape[0])
+        top_s, top_i = jax.lax.top_k(logits, k)
+        boxes = decode_boxes(deltas[top_i], anchors[top_i],
+                             clip_hw=(image_size, image_size))
+        all_scores.append(top_s)
+        all_boxes.append(boxes)
+        all_lvls.append(jnp.full((k,), lvl, jnp.float32))
+    scores = jnp.concatenate(all_scores)
+    boxes = jnp.concatenate(all_boxes)
+    lvls = jnp.concatenate(all_lvls)
+    # drop degenerate boxes (torchvision remove_small_boxes, min_size 1e-3)
+    valid = ((boxes[:, 2] - boxes[:, 0]) > 1e-3) & ((boxes[:, 3] - boxes[:, 1]) > 1e-3)
+    scores = jnp.where(valid, scores, -jnp.inf)
+    nms_boxes = boxes + (lvls * (image_size + 2.0))[:, None]
+    idx, keep = nms_mask(nms_boxes, scores, iou_threshold=rpn_nms_thresh,
+                         max_out=post_nms_topk,
+                         num_candidates=rpn_nms_candidates)
+    return boxes[idx] * keep[:, None], keep
+
+
 @functools.partial(jax.jit, static_argnames=(
     "image_size", "pre_nms_topk", "post_nms_topk", "detections_per_img",
     "num_classes", "rpn_nms_candidates"))
@@ -278,44 +323,10 @@ def fasterrcnn_infer(params, image, *, image_size: int = 800,
     c_feats = resnet_pyramid(params["backbone"], x[None])
     p_feats = fpn_forward(params["fpn"], c_feats)  # P2..P6, batch 1
 
-    # ---- RPN over all levels
-    all_scores, all_boxes, all_lvls = [], [], []
-    for lvl, feat in enumerate(p_feats):
-        stride = 4 * (2 ** lvl)
-        h, w = feat.shape[1], feat.shape[2]
-        t = jax.nn.relu(_conv(feat, params["rpn"]["conv"]["w"]) +
-                        params["rpn"]["conv"]["b"])
-        logits = (t @ params["rpn"]["cls"]["w"] + params["rpn"]["cls"]["b"])[0]
-        deltas = (t @ params["rpn"]["bbox"]["w"] + params["rpn"]["bbox"]["b"])[0]
-        a = len(ASPECT_RATIOS)
-        logits = logits.reshape(-1)                      # [h*w*a]
-        deltas = deltas.reshape(-1, 4)
-        anchors = level_anchors(h, w, stride, ANCHOR_SIZES[lvl])
-        # per-level top-k before decode (torchvision does per-level topk)
-        k = min(pre_nms_topk, logits.shape[0])
-        top_s, top_i = jax.lax.top_k(logits, k)
-        boxes = decode_boxes(deltas[top_i], anchors[top_i],
-                             clip_hw=(image_size, image_size))
-        all_scores.append(top_s)
-        all_boxes.append(boxes)
-        all_lvls.append(jnp.full((k,), lvl, jnp.float32))
-    scores = jnp.concatenate(all_scores)
-    boxes = jnp.concatenate(all_boxes)
-    lvls = jnp.concatenate(all_lvls)
-    # drop degenerate boxes
-    valid = ((boxes[:, 2] - boxes[:, 0]) > 1e-3) & ((boxes[:, 3] - boxes[:, 1]) > 1e-3)
-    scores = jnp.where(valid, scores, -jnp.inf)
-    # per-LEVEL NMS (torchvision batched_nms semantics: proposals never suppress
-    # across FPN levels) via the coordinate-offset trick
-    nms_boxes = boxes + (lvls * (image_size + 2.0))[:, None]
-    # suppress over the top rpn_nms_candidates only: the full 5-level candidate
-    # set (5 x pre_nms_topk) would build a 5000^2 IoU matrix and a 5000-step
-    # sequential loop; results differ from all-candidates NMS only if more than
-    # (candidates - post_nms_topk) of the top candidates suppress each other
-    idx, keep = nms_mask(nms_boxes, scores, iou_threshold=rpn_nms_thresh,
-                         max_out=post_nms_topk,
-                         num_candidates=rpn_nms_candidates)
-    proposals = boxes[idx] * keep[:, None]               # [post_nms_topk, 4]
+    proposals, keep = rpn_propose(
+        params, p_feats, image_size=image_size, pre_nms_topk=pre_nms_topk,
+        post_nms_topk=post_nms_topk, rpn_nms_thresh=rpn_nms_thresh,
+        rpn_nms_candidates=rpn_nms_candidates)
 
     # ---- ROI heads: FPN level assignment (eq.1: k = 4 + log2(sqrt(area)/224))
     pw = jnp.clip(proposals[:, 2] - proposals[:, 0], 1e-6)

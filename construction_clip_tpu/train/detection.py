@@ -171,24 +171,157 @@ def detection_loss(params, batch: DetectionBatch, key, *, image_size: int,
     return jnp.mean(jnp.stack(losses))
 
 
+ROI_BOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)  # torchvision BoxCoder default
+
+
+def tv_detection_losses(params, image, gt_boxes, gt_labels, *, image_size: int,
+                        num_classes: int, pre_nms_topk: int = 2000,
+                        post_nms_topk: int = 2000, rpn_nms_candidates: int = 2000):
+    """Torchvision-faithful training losses for ONE image: the exact four terms
+    `fasterrcnn_resnet50_fpn(...).forward(images, targets)` returns in train
+    mode — {loss_objectness, loss_rpn_box_reg, loss_classifier, loss_box_reg} —
+    computed deterministically by sampling EVERY candidate (the take-all limit
+    of torchvision's BalancedPositiveNegativeSampler, i.e. its behavior with
+    rpn_batch_size_per_image / box_batch_size_per_image >= the candidate count).
+
+    Semantics per torchvision (models/detection/{rpn,roi_heads}.py):
+      RPN: match anchors at fg>=0.7 / bg<0.3 with low-quality rescue;
+        objectness = mean BCE over sampled (here: all fg+bg);
+        rpn_box_reg = sum smooth_l1(beta=1/9) over fg, encoded vs matched gt
+        with unit weights, divided by the sampled count.
+      ROI: proposals = filter_proposals(train top-k) ++ gt boxes; match at
+        0.5/0.5 NO rescue; classifier = mean CE over sampled (all valid rows);
+        box_reg = sum smooth_l1(beta=1/9) over fg rows of the matched class'
+        deltas, targets encoded with weights (10,10,5,5), divided by the
+        sampled count.
+
+    image: [S,S,3] float in [0,1]; gt_boxes [G,4]; gt_labels [G] (0 = padding).
+    Static shapes throughout; the masked/padded rows never contribute.
+    Divergence notes (PARITY.md): rescue assigns the single argmax anchor per
+    gt (torchvision rescues IoU ties — measure-zero with continuous scores);
+    NMS suppression considers the top rpn_nms_candidates candidates only.
+    """
+    from construction_clip_tpu.models.detection import (_conv, rpn_propose,
+                                                        IMAGE_MEAN, IMAGE_STD)
+
+    x = (image - jnp.asarray(IMAGE_MEAN)) / jnp.asarray(IMAGE_STD)
+    c_feats = resnet_pyramid(params["backbone"], x[None])
+    p_feats = fpn_forward(params["fpn"], c_feats)
+    gt_valid = gt_labels > 0
+
+    # ---- RPN heads over all levels (anchor-ordered, pre-topk)
+    anchors = jnp.concatenate([
+        level_anchors(f.shape[1], f.shape[2], 4 * (2 ** lvl), ANCHOR_SIZES[lvl])
+        for lvl, f in enumerate(p_feats)])
+    logits_all, deltas_all = [], []
+    for f in p_feats:
+        t = jax.nn.relu(_conv(f, params["rpn"]["conv"]["w"]) + params["rpn"]["conv"]["b"])
+        logits_all.append((t @ params["rpn"]["cls"]["w"] + params["rpn"]["cls"]["b"])
+                          .reshape(-1))
+        deltas_all.append((t @ params["rpn"]["bbox"]["w"] + params["rpn"]["bbox"]["b"])
+                          .reshape(-1, 4))
+    obj_logits = jnp.concatenate(logits_all)       # [N]
+    obj_deltas = jnp.concatenate(deltas_all)       # [N, 4]
+
+    gt_idx, alabels = match_anchors(anchors, gt_boxes, gt_valid,
+                                    fg_thresh=0.7, bg_thresh=0.3)
+    fg = (alabels == 1).astype(jnp.float32)
+    bg = (alabels == 0).astype(jnp.float32)
+    n_sampled = jnp.maximum(fg.sum() + bg.sum(), 1.0)
+    obj = jax.nn.log_sigmoid(obj_logits)
+    nobj = jax.nn.log_sigmoid(-obj_logits)
+    loss_objectness = -(jnp.sum(obj * fg) + jnp.sum(nobj * bg)) / n_sampled
+    rpn_targets = encode_boxes(gt_boxes[gt_idx], anchors)
+    loss_rpn_box_reg = jnp.sum(smooth_l1(obj_deltas - rpn_targets).sum(-1) * fg) \
+        / n_sampled
+
+    # ---- proposals (training top-k) ++ gt boxes, matched at 0.5 (no rescue)
+    proposals, keep = rpn_propose(
+        params, p_feats, image_size=image_size, pre_nms_topk=pre_nms_topk,
+        post_nms_topk=post_nms_topk, rpn_nms_candidates=rpn_nms_candidates)
+    rois = jnp.concatenate([proposals, gt_boxes])            # [R, 4]
+    row_valid = jnp.concatenate([keep, gt_valid]).astype(jnp.float32)
+    _, max_gt = proposals.shape[0], gt_boxes.shape[0]
+    iou = box_iou(rois, gt_boxes)
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=1)
+    best_iou = jnp.max(iou, axis=1)
+    roi_fg = (best_iou >= 0.5) & (row_valid > 0)
+    labels_cls = jnp.where(roi_fg, gt_labels[best_gt], 0)
+
+    # ---- box head on pooled rois (level mapper + roi_align, as in inference)
+    pw = jnp.clip(rois[:, 2] - rois[:, 0], 1e-6)
+    ph = jnp.clip(rois[:, 3] - rois[:, 1], 1e-6)
+    lvl_assign = jnp.clip(jnp.floor(4 + jnp.log2(jnp.sqrt(pw * ph) / 224 + 1e-6)),
+                          2, 5).astype(jnp.int32) - 2
+    pooled = jnp.zeros((rois.shape[0], 7, 7, p_feats[0].shape[-1]))
+    for l in range(4):
+        fl = roi_align(p_feats[l][0], rois, spatial_scale=1.0 / (4 * 2 ** l))
+        pooled = jnp.where((lvl_assign == l)[:, None, None, None], fl, pooled)
+    flat = pooled.transpose(0, 3, 1, 2).reshape(rois.shape[0], -1)
+    h6 = jax.nn.relu(flat @ params["box_head"]["fc6"]["w"] + params["box_head"]["fc6"]["b"])
+    h7 = jax.nn.relu(h6 @ params["box_head"]["fc7"]["w"] + params["box_head"]["fc7"]["b"])
+    cls_logits = h7 @ params["box_head"]["cls_score"]["w"] + params["box_head"]["cls_score"]["b"]
+    box_deltas = (h7 @ params["box_head"]["bbox_pred"]["w"]
+                  + params["box_head"]["bbox_pred"]["b"]).reshape(
+                      rois.shape[0], num_classes, 4)
+
+    n_rois = jnp.maximum(row_valid.sum(), 1.0)
+    logp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, labels_cls[:, None], axis=-1)[:, 0]
+    loss_classifier = jnp.sum(ce * row_valid) / n_rois
+
+    roi_targets = encode_boxes(gt_boxes[best_gt], rois) \
+        * jnp.asarray(ROI_BOX_REG_WEIGHTS)
+    sel = jnp.take_along_axis(box_deltas, labels_cls[:, None, None].clip(0),
+                              axis=1)[:, 0]
+    loss_box_reg = jnp.sum(smooth_l1(sel - roi_targets).sum(-1)
+                           * roi_fg.astype(jnp.float32)) / n_rois
+
+    return {"loss_objectness": loss_objectness,
+            "loss_rpn_box_reg": loss_rpn_box_reg,
+            "loss_classifier": loss_classifier,
+            "loss_box_reg": loss_box_reg}
+
+
 def make_detection_train_step(tx, *, image_size: int, num_classes: int,
-                              mesh=None):
+                              mesh=None, tv_faithful: bool = False,
+                              tv_post_nms_topk: int = 512):
     """Single-device by default; with a mesh whose "data" axis > 1, the batch
     shards over chips (shard_map) with pmean'd grads/loss — same DP recipe as
     train/contrastive.py (per-image losses are independent, so DP mean == the
-    single-device batch mean)."""
+    single-device batch mean).
+
+    tv_faithful=True trains on the sum of the four torchvision train-mode loss
+    terms (tv_detection_losses: RPN-proposal ROI regime, take-all sampling,
+    deterministic — pinned against torch numerics in
+    tests/test_detection_train_parity.py) instead of the default fast
+    clean-proposal loss. Costlier per step (runs proposal NMS in the loss) but
+    numerically the torchvision objective."""
     from construction_clip_tpu.core.mesh import DATA_AXIS
 
     n_data = 1 if mesh is None else mesh.shape[DATA_AXIS]
+
+    def tv_batch_loss(p, batch):
+        losses = [tv_detection_losses(
+            p, batch.images[i], batch.gt_boxes[i], batch.gt_labels[i],
+            image_size=image_size, num_classes=num_classes,
+            pre_nms_topk=tv_post_nms_topk * 2, post_nms_topk=tv_post_nms_topk)
+            for i in range(batch.images.shape[0])]
+        return jnp.mean(jnp.stack([sum(l.values()) for l in losses]))
 
     def sharded_step(state, images, gt_boxes, gt_labels, keys):
         from construction_clip_tpu.train.state import apply_gradients
 
         batch = DetectionBatch(images=images, gt_boxes=gt_boxes,
                                gt_labels=gt_labels)
-        loss, grads = jax.value_and_grad(
-            lambda p: detection_loss(p, batch, keys, image_size=image_size,
-                                     num_classes=num_classes))(state.params)
+        if tv_faithful:
+            loss_fn = lambda p: tv_batch_loss(p, batch)
+        else:
+            loss_fn = lambda p: detection_loss(p, batch, keys,
+                                               image_size=image_size,
+                                               num_classes=num_classes)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
         if n_data > 1:
             grads = jax.lax.pmean(grads, DATA_AXIS)
             loss = jax.lax.pmean(loss, DATA_AXIS)

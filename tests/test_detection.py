@@ -260,13 +260,10 @@ def _np_roi_align(feat_hwc, boxes, scale, out=7, sr=2):
     return res
 
 
-def _torch_ref_detector(sd, img01, *, image_size, pre_nms, post_nms, det_per_img,
-                        num_classes=8, rpn_nms=0.7, box_nms=0.5,
-                        score_thresh=0.05):
-    """Independent full-forward Faster R-CNN reference: torch-core convs for the
-    backbone/FPN/RPN heads + numpy proposal filtering / ROIAlign / box head,
-    following torchvision GeneralizedRCNN inference semantics step by step
-    (the reference serves exactly that model, reference application.py:13-25)."""
+def _torch_backbone_fpn(sd, img01):
+    """torch-core backbone + FPN from the torchvision-named state dict: returns
+    the five P2..P6 feature tensors (inference-form BN = FrozenBatchNorm, which
+    is also torchvision's train-mode behavior for detection)."""
     import torch
     import torch.nn.functional as F
 
@@ -316,6 +313,104 @@ def _torch_ref_detector(sd, img01, *, image_size, pre_nms, post_nms, det_per_img
                        t(f"backbone.fpn.layer_blocks.{i}.0.bias"), padding=1)
               for i, o in enumerate(outs)]
         ps.append(F.max_pool2d(ps[3], 1, 2, 0))
+    return ps
+
+
+def _torch_rpn_head(sd, ps):
+    """Per-level anchor-ordered (logits [N_l], deltas [N_l,4]) numpy arrays."""
+    import torch
+    import torch.nn.functional as F
+
+    def t(k):
+        return sd[k].float()
+
+    out = []
+    with torch.no_grad():
+        for p_ in ps:
+            tt = F.relu(F.conv2d(p_, t("rpn.head.conv.0.0.weight"),
+                                 t("rpn.head.conv.0.0.bias"), padding=1))
+            logits = F.conv2d(tt, t("rpn.head.cls_logits.weight"),
+                              t("rpn.head.cls_logits.bias"))
+            deltas = F.conv2d(tt, t("rpn.head.bbox_pred.weight"),
+                              t("rpn.head.bbox_pred.bias"))
+            out.append((logits.permute(0, 2, 3, 1).reshape(-1).numpy(),
+                        deltas.permute(0, 2, 3, 1).reshape(-1, 4).numpy()))
+    return out
+
+
+def _torch_box_head(sd, pooled_flat):
+    """fc6/fc7/cls/bbox of the box head on flattened pooled rois (numpy)."""
+    def tn(k):
+        return sd[k].float().numpy()
+
+    h6 = np.maximum(pooled_flat @ tn("roi_heads.box_head.fc6.weight").T
+                    + tn("roi_heads.box_head.fc6.bias"), 0)
+    h7 = np.maximum(h6 @ tn("roi_heads.box_head.fc7.weight").T
+                    + tn("roi_heads.box_head.fc7.bias"), 0)
+    cls = h7 @ tn("roi_heads.box_predictor.cls_score.weight").T \
+        + tn("roi_heads.box_predictor.cls_score.bias")
+    reg = h7 @ tn("roi_heads.box_predictor.bbox_pred.weight").T \
+        + tn("roi_heads.box_predictor.bbox_pred.bias")
+    return cls, reg
+
+
+def _np_rpn_proposals(sd, ps, *, image_size, pre_nms, post_nms, rpn_nms=0.7):
+    """torchvision filter_proposals in numpy: per-level topk -> decode -> clip
+    -> small filter -> per-level NMS -> global sort by score, top post_nms."""
+    cand = []
+    for lvl, (logits, deltas) in enumerate(_torch_rpn_head(sd, ps)):
+        anchors = np.asarray(level_anchors(
+            ps[lvl].shape[-2], ps[lvl].shape[-1], 4 * 2 ** lvl, ANCHOR_SIZES[lvl]))
+        k = min(pre_nms, len(logits))
+        top = np.argsort(-logits)[:k]
+        boxes = _np_decode(deltas[top], anchors[top], image_size)
+        ok = ((boxes[:, 2] - boxes[:, 0]) > 1e-3) & \
+             ((boxes[:, 3] - boxes[:, 1]) > 1e-3)
+        for s_, b_ in zip(logits[top][ok], boxes[ok]):
+            cand.append((s_, b_, lvl))
+    proposals = []
+    for lvl in range(5):
+        lb = np.asarray([b for s_, b, l in cand if l == lvl])
+        ls = np.asarray([s_ for s_, b, l in cand if l == lvl])
+        if len(lb) == 0:
+            continue
+        for i in _np_greedy_nms(lb, ls, rpn_nms):
+            proposals.append((ls[i], lb[i]))
+    proposals.sort(key=lambda x: -x[0])
+    return np.asarray([b for _, b in proposals[:post_nms]])
+
+
+def _np_multiscale_roi_align(ps, rois):
+    """LevelMapper + per-level ROIAlign over P2..P5 (numpy)."""
+    lvls = np.clip(np.floor(4 + np.log2(
+        np.sqrt(np.maximum((rois[:, 2] - rois[:, 0]) *
+                           (rois[:, 3] - rois[:, 1]), 1e-12))
+        / 224 + 1e-6)), 2, 5).astype(int) - 2
+    pooled = np.zeros((len(rois), 7, 7, 256), np.float32)
+    feats_np = [p_.permute(0, 2, 3, 1)[0].numpy() for p_ in ps]
+    for lvl in range(4):
+        rows = np.nonzero(lvls == lvl)[0]
+        if len(rows):
+            pooled[rows] = _np_roi_align(feats_np[lvl], rois[rows],
+                                         1.0 / (4 * 2 ** lvl))
+    return pooled
+
+
+def _torch_ref_detector(sd, img01, *, image_size, pre_nms, post_nms, det_per_img,
+                        num_classes=8, rpn_nms=0.7, box_nms=0.5,
+                        score_thresh=0.05):
+    """Independent full-forward Faster R-CNN reference: torch-core convs for the
+    backbone/FPN/RPN heads + numpy proposal filtering / ROIAlign / box head,
+    following torchvision GeneralizedRCNN inference semantics step by step
+    (the reference serves exactly that model, reference application.py:13-25)."""
+    import torch
+    import torch.nn.functional as F
+
+    def t(k):
+        return sd[k].float()
+
+    ps = _torch_backbone_fpn(sd, img01)
+    with torch.no_grad():
 
         # RPN: per-level topk -> decode -> clip -> small filter -> per-level NMS
         cand = []  # (score, box, lvl)
