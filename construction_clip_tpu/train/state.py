@@ -47,13 +47,64 @@ def linear_warmup_schedule(lr: float, warmup_steps: int, total_steps: int) -> op
     return schedule
 
 
+def fused_adamw(schedule, *, b1: float = 0.9, b2: float = 0.999,
+                eps: float = 1e-8, weight_decay: float = 0.0
+                ) -> optax.GradientTransformation:
+    """AdamW with the whole per-leaf update in ONE traversal — numerically
+    optax.adamw(schedule) (bias correction with count+1, decay added before lr
+    scaling, lr taken at the pre-increment count like optax.scale_by_schedule)
+    but expressed so XLA fuses read(g,p,m,v) -> write(m,v,delta) into a single
+    HBM pass per leaf. optax's chain (scale_by_adam -> add_decayed_weights ->
+    scale_by_learning_rate) materializes the updates tree between transforms;
+    measured on v5e this update ran 1.5x over its HBM roofline (BASELINE.md
+    train-step attribution — the round-2 verdict's item 5)."""
+
+    def init(params):
+        z = lambda p: jnp.zeros_like(p)
+        return {"count": jnp.zeros((), jnp.int32),
+                "m": jax.tree.map(z, params), "v": jax.tree.map(z, params)}
+
+    def update(grads, state, params=None):
+        count = state["count"]
+        c1 = (count + 1).astype(jnp.float32)
+        bc1 = 1.0 - b1 ** c1
+        bc2 = 1.0 - b2 ** c1
+        lr_t = schedule(count)
+
+        def leaf(g, p, m, v):
+            m2 = b1 * m + (1.0 - b1) * g
+            v2 = b2 * v + (1.0 - b2) * (g * g)
+            u = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+            if weight_decay:
+                u = u + weight_decay * p
+            return -lr_t * u, m2, v2
+
+        out = jax.tree.map(leaf, grads, params, state["m"], state["v"])
+        # unzip the 3-tuples in one pass
+        updates = jax.tree.map(lambda t: t[0], out,
+                               is_leaf=lambda t: isinstance(t, tuple))
+        new_m = jax.tree.map(lambda t: t[1], out,
+                             is_leaf=lambda t: isinstance(t, tuple))
+        new_v = jax.tree.map(lambda t: t[2], out,
+                             is_leaf=lambda t: isinstance(t, tuple))
+        return updates, {"count": count + 1, "m": new_m, "v": new_v}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_adamw(lr: float = 1e-5, *, warmup_steps: int = 5000,
                total_steps: int = 100_000, weight_decay: float = 0.0,
                b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
-               grad_clip: float | None = None) -> optax.GradientTransformation:
+               grad_clip: float | None = None,
+               fused: bool = True) -> optax.GradientTransformation:
     sched = linear_warmup_schedule(lr, warmup_steps, total_steps)
     parts = []
     if grad_clip is not None:
         parts.append(optax.clip_by_global_norm(grad_clip))
-    parts.append(optax.adamw(sched, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay))
+    if fused:
+        parts.append(fused_adamw(sched, b1=b1, b2=b2, eps=eps,
+                                 weight_decay=weight_decay))
+    else:
+        parts.append(optax.adamw(sched, b1=b1, b2=b2, eps=eps,
+                                 weight_decay=weight_decay))
     return optax.chain(*parts)
