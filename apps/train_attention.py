@@ -105,14 +105,24 @@ def main():
     def encode(images_u8):
         return _encode(enc_params, images_u8)
 
-    @jax.jit
-    def train_step(state, feats, caps, rng):
-        def loss_fn(p):
-            logits, _ = captioner_forward(p, feats, caps, dropout_rate=0.3, rng=rng)
-            return caption_lm_loss(logits, caps)
+    # DP over all local devices (train/lstm.py); the reference trainer is
+    # single-GPU (attention_model/train.py:137-163) — this is the TPU upgrade
+    from construction_clip_tpu.core.mesh import (create_mesh, DATA_AXIS,
+                                                 MODEL_AXIS, shard_batch,
+                                                 replicate)
+    from construction_clip_tpu.train.lstm import make_lstm_train_step
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        return apply_gradients(state, grads, tx), loss
+    n_dev = max(d for d in range(1, len(jax.devices()) + 1)
+                if args.batch_size % d == 0)
+    mesh = create_mesh({DATA_AXIS: n_dev, MODEL_AXIS: 1},
+                       devices=jax.devices()[:n_dev])
+    lstm_step = make_lstm_train_step(tx, mesh, dropout_rate=0.3)
+    state = replicate(mesh, state)  # keeps restored opt state/step intact
+
+    def train_step(state, feats, caps, rng):
+        batch = shard_batch(mesh, {"features": feats, "tokens": caps})
+        state, m = lstm_step(state, batch, rng)
+        return state, m["loss"]
 
     logger = MetricLogger(args.log_dir, "attention_model")
     timer = StepTimer()

@@ -1,0 +1,61 @@
+"""DP training step for the show-attend-tell LSTM captioner (train/lstm.py):
+sharded loss equals single-device, loss decreases, dropout path runs.
+
+The reference trainer is single-GPU (reference attention_model/train.py:137-163);
+the DP step is this framework's scaling upgrade, certified alongside the other
+four trainers in __graft_entry__.dryrun_multichip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from construction_clip_tpu.core.mesh import (create_mesh, DATA_AXIS, MODEL_AXIS,
+                                             shard_batch, replicate)
+from construction_clip_tpu.models.lstm_captioner import init_lstm_captioner
+from construction_clip_tpu.train.lstm import make_lstm_train_step
+from construction_clip_tpu.train.state import TrainState
+
+
+def _setup(b=8):
+    params = init_lstm_captioner(
+        jax.random.key(0), vocab_size=40, embed_size=12, attention_dim=8,
+        encoder_dim=10, decoder_dim=12)
+    rng = np.random.default_rng(1)
+    batch = {
+        "features": jnp.asarray(rng.standard_normal((b, 9, 10)), jnp.float32),
+        "tokens": jnp.asarray(rng.integers(1, 40, (b, 6)), jnp.int32),
+    }
+    return params, batch
+
+
+def test_dp_loss_equals_single_device():
+    params, batch = _setup()
+    tx = optax.adam(1e-3)
+    losses = {}
+    for n in (1, 4):
+        mesh = create_mesh({DATA_AXIS: n, MODEL_AXIS: 1},
+                           devices=jax.devices()[:n])
+        step = make_lstm_train_step(tx, mesh, dropout_rate=0.0)
+        st = TrainState.create(replicate(mesh, jax.tree.map(jnp.copy, params)), tx)
+        st, m = step(st, shard_batch(mesh, batch), jax.random.key(2))
+        assert int(st.step) == 1
+        losses[n] = float(m["loss"])
+    np.testing.assert_allclose(losses[1], losses[4], rtol=1e-5)
+
+
+def test_loss_decreases_with_dropout():
+    params, batch = _setup()
+    tx = optax.adam(5e-3)
+    mesh = create_mesh({DATA_AXIS: 2, MODEL_AXIS: 1}, devices=jax.devices()[:2])
+    step = make_lstm_train_step(tx, mesh, dropout_rate=0.3)
+    st = TrainState.create(replicate(mesh, params), tx)
+    key = jax.random.key(3)
+    first = None
+    for i in range(8):
+        key, sub = jax.random.split(key)
+        st, m = step(st, shard_batch(mesh, batch), sub)
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first
