@@ -83,6 +83,9 @@ def apply_block(
                              probs_probe=probs_probe)
     if return_probs:
         attn_out, probs = attn_out
+    from jax.ad_checkpoint import checkpoint_name
+
+    attn_out = checkpoint_name(attn_out, "attn_out")
     x = x + attn_out
     x = _mlp_residual(x, params, act, ln_eps)
     if return_probs:
@@ -109,6 +112,10 @@ def _mlp_residual(x, params, act, ln_eps):
                                                  eps=ln_eps)
     h = layer_norm(x, **params["ln_2"], eps=ln_eps)
     h = act(h @ params["mlp"]["w_fc"] + params["mlp"]["b_fc"])
+    # named for selective remat: the 4d-wide hidden is the costliest recompute
+    from jax.ad_checkpoint import checkpoint_name
+
+    h = checkpoint_name(h, "mlp_hidden")
     return x + (h @ params["mlp"]["w_proj"] + params["mlp"]["b_proj"])
 
 
@@ -123,7 +130,7 @@ def apply_stack(
     ln_eps: float = 1e-5,
     return_probs: bool = False,
     probs_probe=None,
-    remat: bool = False,
+    remat: bool | str = False,
     unroll: int | None = None,
 ):
     """Apply L stacked blocks via lax.scan.
@@ -131,6 +138,15 @@ def apply_stack(
     With return_probs=True also returns attention probabilities stacked [L, B, H, T, T]
     (the probe mode that powers relevance-propagation explainability).
     probs_probe: zeros [L, B, H, T, T]; grad w.r.t. it = grad w.r.t. per-layer probs.
+
+    remat: False = no rematerialisation; True = full per-layer checkpoint (save
+    only layer inputs, recompute everything in backward); or a SELECTIVE policy
+    name trading memory for recompute (measured for ViT-L/14, BASELINE.md):
+      "save_qkv"        keep each layer's fused qkv projection
+      "save_mlp_hidden" keep each layer's 4d MLP hidden
+      "save_big"        keep qkv + mlp_hidden + attn_out (cheapest recompute,
+                        ~270 MB/layer at ViT-L b=64)
+      "dots"            XLA policy: save every dot_general result
 
     unroll: scan unroll factor; None resolves to FULL unroll on TPU (measured on
     v5e, ViT-B shapes b=128: fwd+bwd 45.1 -> 34.4 ms image / 33.1 -> 24.2 ms text
@@ -153,7 +169,18 @@ def apply_stack(
         return out, None
 
     if remat:
-        body = jax.checkpoint(body)
+        if isinstance(remat, str):
+            cp = jax.checkpoint_policies
+            policy = {
+                "dots": cp.checkpoint_dots,
+                "save_qkv": cp.save_only_these_names("qkv"),
+                "save_mlp_hidden": cp.save_only_these_names("mlp_hidden"),
+                "save_big": cp.save_only_these_names("qkv", "mlp_hidden",
+                                                     "attn_out"),
+            }[remat]
+            body = jax.checkpoint(body, policy=policy)
+        else:
+            body = jax.checkpoint(body)
     if unroll is None:
         n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
         unroll = n_layers if jax.default_backend() == "tpu" else 1

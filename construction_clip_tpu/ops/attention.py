@@ -132,6 +132,12 @@ def qkv_attention(
     d = x.shape[-1]
     if kv_x is None:
         qkv = x @ params["w_qkv"] + params["b_qkv"]
+        # named for selective rematerialisation (models/blocks.apply_stack
+        # remat="save_qkv"/"save_big"): saving qkv lets the backward skip the
+        # widest projection GEMM recompute
+        from jax.ad_checkpoint import checkpoint_name
+
+        qkv = checkpoint_name(qkv, "qkv")
         q, k, v = jnp.split(qkv, 3, axis=-1)
     else:
         wq, wk, wv = jnp.split(params["w_qkv"], 3, axis=-1)

@@ -45,37 +45,92 @@ def main():
     cfg = CLIPConfig.vit_l_14()
     mesh = create_mesh({DATA_AXIS: len(jax.devices()), MODEL_AXIS: 1})
     tx = make_adamw(1e-5, warmup_steps=0, total_steps=1000)
+    from bench_util import timed_windows, put_ms, put_rate
 
-    for batch_size, remat in ((64, True), (32, True)):
+    B = 64
+    toks = jnp.zeros((B, 77), jnp.int32).at[:, 0].set(49406)
+    toks = toks.at[:, 1].set(49407)
+    batch = {
+        "images": jax.random.normal(jax.random.key(1), (B, 224, 224, 3),
+                                    jnp.float32),
+        "tokens": toks,
+    }
+
+    # remat policy sweep (models/blocks.apply_stack): full recompute vs
+    # selective policies that keep the costly intermediates (BASELINE.md
+    # config-5 attribution). Best fitting policy becomes the headline row.
+    best = None
+    for remat in ("save_big", "save_mlp_hidden", True):
+        tag = remat if isinstance(remat, str) else "full"
         try:
             params = init_clip(jax.random.key(0), cfg)
             step = make_train_step(cfg, tx, mesh, policy=BF16_POLICY, remat=remat)
             state = TrainState.create(params, tx)
-            toks = jnp.zeros((batch_size, 77), jnp.int32).at[:, 0].set(49406)
-            toks = toks.at[:, 1].set(49407)
-            batch = {
-                "images": jax.random.normal(
-                    jax.random.key(1), (batch_size, 224, 224, 3), jnp.float32),
-                "tokens": toks,
-            }
-            for _ in range(5):
-                state, m = step(state, batch)
-            _ = float(m["loss"])
-            iters = 10
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                state, m = step(state, batch)
-            _ = np.asarray(state.step)
-            dt = (time.perf_counter() - t0) / iters
-            results[f"vitl_step_ms_b{batch_size}"] = round(dt * 1e3, 1)
-            results[f"vitl_img_s_b{batch_size}"] = round(batch_size / dt, 1)
-            log(f"ViT-L/14 b={batch_size} remat={remat}: {dt*1e3:.1f} ms/step "
-                f"({batch_size/dt:.0f} img/s)")
-            del state, step, params, batch
-            break  # largest fitting batch recorded; skip smaller
+            holder = [state]
+
+            def one():
+                s, m = step(holder[0], batch)
+                holder[0] = s
+                return m["loss"]
+
+            st = timed_windows(one, windows=5, iters=5, warmup=5,
+                               sync=lambda o: np.asarray(o))
+            put_ms(results, f"vitl_step_ms_b{B}_{tag}", st, ndigits=1)
+            log(f"ViT-L/14 b={B} remat={tag}: {st[0]*1e3:.1f} ms/step "
+                f"[{st[1]*1e3:.1f},{st[2]*1e3:.1f}] ({B/st[0]:.0f} img/s)")
+            if best is None or st[0] < best[1][0]:
+                best = (tag, st)
+            del state, step, params, holder
         except Exception as e:
-            log(f"ViT-L/14 b={batch_size}: {type(e).__name__}: {str(e)[:200]}")
-            results[f"vitl_b{batch_size}_error"] = type(e).__name__
+            log(f"ViT-L/14 b={B} remat={tag}: {type(e).__name__}: {str(e)[:300]}")
+            results[f"vitl_b{B}_{tag}_error"] = type(e).__name__
+    if best is not None:
+        tag, st = best
+        put_ms(results, f"vitl_step_ms_b{B}", st, ndigits=1)
+        put_rate(results, f"vitl_img_s_b{B}", st, B)
+        results["vitl_best_remat"] = tag
+
+    # attribution: forward-only loss and optimizer-only update
+    try:
+        params = init_clip(jax.random.key(0), cfg)
+        from construction_clip_tpu.models.clip import encode_image, encode_text
+        from construction_clip_tpu.parallel.infonce import local_infonce
+
+        @jax.jit
+        def fwd(p, images, tokens):
+            i = encode_image(p, cfg, images, policy=BF16_POLICY, normalize=True)
+            t = encode_text(p, cfg, tokens, policy=BF16_POLICY, normalize=True)
+            return local_infonce(i, t, p["logit_scale"])[0]
+
+        st = timed_windows(lambda: fwd(params, batch["images"], batch["tokens"]),
+                           windows=5, iters=5, warmup=5,
+                           sync=lambda o: np.asarray(o))
+        put_ms(results, f"vitl_fwd_ms_b{B}", st, ndigits=1)
+        log(f"fwd-only: {st[0]*1e3:.1f} ms")
+
+        state = TrainState.create(params, tx)
+        grads = jax.tree.map(lambda x: (x * 1e-3).astype(x.dtype)
+                             if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                             params)
+        from construction_clip_tpu.train.state import apply_gradients
+
+        @jax.jit
+        def opt_only(s, g):
+            return apply_gradients(s, g, tx)
+
+        holder = [state]
+
+        def one_opt():
+            holder[0] = opt_only(holder[0], grads)
+            return holder[0].step
+
+        st = timed_windows(one_opt, windows=5, iters=10, warmup=5,
+                           sync=lambda o: np.asarray(o))
+        put_ms(results, "vitl_adamw_ms", st, ndigits=2)
+        log(f"fused AdamW only (428M fp32 state): {st[0]*1e3:.2f} ms")
+        del state, params, grads, holder
+    except Exception as e:
+        log(f"attribution: {type(e).__name__}: {str(e)[:300]}")
 
     # batched caption scoring (host-side, the score.py path)
     from construction_clip_tpu.infer.score import score_pairs
