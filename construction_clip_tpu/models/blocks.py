@@ -144,6 +144,9 @@ def apply_stack(
     name trading memory for recompute (measured for ViT-L/14, BASELINE.md):
       "save_qkv"        keep each layer's fused qkv projection
       "save_mlp_hidden" keep each layer's 4d MLP hidden
+      "save_qkv_mlp"    keep qkv + mlp_hidden — skips the two widest recompute
+                        GEMMs (~85% of the per-layer recompute FLOPs) for
+                        ~236 MB/layer at ViT-L b=64
       "save_big"        keep qkv + mlp_hidden + attn_out (cheapest recompute,
                         ~270 MB/layer at ViT-L b=64)
       "dots"            XLA policy: save every dot_general result
@@ -175,6 +178,7 @@ def apply_stack(
                 "dots": cp.checkpoint_dots,
                 "save_qkv": cp.save_only_these_names("qkv"),
                 "save_mlp_hidden": cp.save_only_these_names("mlp_hidden"),
+                "save_qkv_mlp": cp.save_only_these_names("qkv", "mlp_hidden"),
                 "save_big": cp.save_only_these_names("qkv", "mlp_hidden",
                                                      "attn_out"),
             }[remat]

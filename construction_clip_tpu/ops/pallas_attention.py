@@ -85,9 +85,29 @@ def _fa_fwd(q, k, v, is_causal, scale):
 
 
 def _fa_bwd(is_causal, scale, res, g):
-    """Standard attention backward (fp32): recompute P, then
-    dV = P^T g;  dS = P * (gV^T - rowsum(gV^T * P));  dQ = scale*dS K;  dK = scale*dS^T Q."""
+    """Analytic backward. For large T the fp32 probs temps ([B,H,T,T], three of
+    them live at once) dominate HBM — at ViT-L/14 b=64 (T=257) that is ~3.2 GB
+    landing on top of the remat-recompute working set, the round-3 OOM. Since
+    attention is independent per (batch, head), chunk the batch with lax.map so
+    the probs working set stays ~hundreds of MB; exact same math per chunk."""
     q, k, v = res
+    b, h, t, _ = q.shape
+    per_sample = h * t * t * 4  # one fp32 [H,T,T] probs slab per batch row
+    chunk = max(1, (64 * 1024 * 1024) // per_sample)
+    if t > 256 and chunk < b:
+        while b % chunk:
+            chunk -= 1
+        qs, ks, vs, gs = (x.reshape(b // chunk, chunk, *x.shape[1:])
+                          for x in (q, k, v, g))
+        dq, dk, dv = jax.lax.map(
+            lambda a: _bwd_math(*a, is_causal, scale), (qs, ks, vs, gs))
+        return (dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape))
+    return _bwd_math(q, k, v, g, is_causal, scale)
+
+
+def _bwd_math(q, k, v, g, is_causal, scale):
+    """dV = P^T g;  dS = P * (gV^T - rowsum(gV^T * P));  dQ = scale*dS K;
+    dK = scale*dS^T Q — everything accumulated in fp32."""
     logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                         k.astype(jnp.float32),
                         preferred_element_type=jnp.float32) * scale

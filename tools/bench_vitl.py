@@ -10,6 +10,7 @@ records the real-chip single-device numbers. Prints one JSON line.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -56,11 +57,69 @@ def main():
         "tokens": toks,
     }
 
-    # remat policy sweep (models/blocks.apply_stack): full recompute vs
-    # selective policies that keep the costly intermediates (BASELINE.md
-    # config-5 attribution). Best fitting policy becomes the headline row.
+    # attribution (fwd-only + optimizer-only) runs FIRST so its params copy
+    # isn't competing with the sweep's HBM residue (the r3 first run OOM'd here)
+    def _attribution():
+        from construction_clip_tpu.models.clip import encode_image, encode_text
+        from construction_clip_tpu.parallel.infonce import local_infonce
+        from construction_clip_tpu.train.state import apply_gradients
+
+        params = init_clip(jax.random.key(0), cfg)
+
+        @jax.jit
+        def fwd(p, images, tokens):
+            i = encode_image(p, cfg, images, policy=BF16_POLICY, normalize=True)
+            t = encode_text(p, cfg, tokens, policy=BF16_POLICY, normalize=True)
+            return local_infonce(i, t, p["logit_scale"])[0]
+
+        st = timed_windows(lambda: fwd(params, batch["images"], batch["tokens"]),
+                           windows=5, iters=5, warmup=5,
+                           sync=lambda o: np.asarray(o))
+        put_ms(results, f"vitl_fwd_ms_b{B}", st, ndigits=1)
+        log(f"fwd-only: {st[0]*1e3:.1f} ms")
+
+        state = TrainState.create(params, tx)
+        grads = jax.tree.map(lambda x: (x * 1e-3).astype(x.dtype)
+                             if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                             params)
+
+        # donate the state: in+out 5.1 GB fp32 states coexisting alongside
+        # params+grads is itself an HBM OOM at ViT-L scale (r3 measured)
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def opt_only(s, g):
+            return apply_gradients(s, g, tx)
+
+        holder = [state]
+
+        def one_opt():
+            holder[0] = opt_only(holder[0], grads)
+            return holder[0].step
+
+        st = timed_windows(one_opt, windows=5, iters=10, warmup=5,
+                           sync=lambda o: np.asarray(o))
+        put_ms(results, "vitl_adamw_ms", st, ndigits=2)
+        log(f"fused AdamW only (428M fp32 state): {st[0]*1e3:.2f} ms")
+
+    try:
+        _attribution()
+    except Exception as e:
+        log(f"attribution: {type(e).__name__}: {str(e)[:300]}")
+    # drop every buffer the attribution phase pinned (jit caches hold weakrefs
+    # to executables, not arrays, but the module-level params/state would
+    # otherwise survive into the sweep and tip b=64 over HBM)
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+    # remat policy sweep (models/blocks.apply_stack): full recompute vs the
+    # selective save_qkv policy (BASELINE.md config-5 attribution). save_big /
+    # save_mlp_hidden keep 3-7 GB of ViT-L activations at b=64 and fail remote
+    # compile against the 16 GB HBM alongside the 6.8 GB fp32 AdamW state —
+    # save_qkv (2.4 GB kept) is the largest policy that fits. Best fitting
+    # policy becomes the headline row.
     best = None
-    for remat in ("save_big", "save_mlp_hidden", True):
+    for remat in ("save_qkv_mlp", "save_mlp_hidden", "save_qkv", True):
         tag = remat if isinstance(remat, str) else "full"
         try:
             params = init_clip(jax.random.key(0), cfg)
@@ -89,48 +148,6 @@ def main():
         put_ms(results, f"vitl_step_ms_b{B}", st, ndigits=1)
         put_rate(results, f"vitl_img_s_b{B}", st, B)
         results["vitl_best_remat"] = tag
-
-    # attribution: forward-only loss and optimizer-only update
-    try:
-        params = init_clip(jax.random.key(0), cfg)
-        from construction_clip_tpu.models.clip import encode_image, encode_text
-        from construction_clip_tpu.parallel.infonce import local_infonce
-
-        @jax.jit
-        def fwd(p, images, tokens):
-            i = encode_image(p, cfg, images, policy=BF16_POLICY, normalize=True)
-            t = encode_text(p, cfg, tokens, policy=BF16_POLICY, normalize=True)
-            return local_infonce(i, t, p["logit_scale"])[0]
-
-        st = timed_windows(lambda: fwd(params, batch["images"], batch["tokens"]),
-                           windows=5, iters=5, warmup=5,
-                           sync=lambda o: np.asarray(o))
-        put_ms(results, f"vitl_fwd_ms_b{B}", st, ndigits=1)
-        log(f"fwd-only: {st[0]*1e3:.1f} ms")
-
-        state = TrainState.create(params, tx)
-        grads = jax.tree.map(lambda x: (x * 1e-3).astype(x.dtype)
-                             if jnp.issubdtype(x.dtype, jnp.floating) else x,
-                             params)
-        from construction_clip_tpu.train.state import apply_gradients
-
-        @jax.jit
-        def opt_only(s, g):
-            return apply_gradients(s, g, tx)
-
-        holder = [state]
-
-        def one_opt():
-            holder[0] = opt_only(holder[0], grads)
-            return holder[0].step
-
-        st = timed_windows(one_opt, windows=5, iters=10, warmup=5,
-                           sync=lambda o: np.asarray(o))
-        put_ms(results, "vitl_adamw_ms", st, ndigits=2)
-        log(f"fused AdamW only (428M fp32 state): {st[0]*1e3:.2f} ms")
-        del state, params, grads, holder
-    except Exception as e:
-        log(f"attribution: {type(e).__name__}: {str(e)[:300]}")
 
     # batched caption scoring (host-side, the score.py path)
     from construction_clip_tpu.infer.score import score_pairs
