@@ -29,6 +29,13 @@ class TrainState:
 
 
 def apply_gradients(state: TrainState, grads, tx: optax.GradientTransformation) -> TrainState:
+    if hasattr(tx, "update_and_apply"):
+        # fused path: p - lr*u folds into the same per-leaf traversal as the
+        # m/v updates — no updates tree, no optax.apply_updates second pass
+        new_params, new_opt = tx.update_and_apply(grads, state.opt_state,
+                                                  state.params)
+        return TrainState(step=state.step + 1, params=new_params,
+                          opt_state=new_opt)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     return TrainState(step=state.step + 1,
                       params=optax.apply_updates(state.params, updates),
@@ -47,9 +54,22 @@ def linear_warmup_schedule(lr: float, warmup_steps: int, total_steps: int) -> op
     return schedule
 
 
+@dataclasses.dataclass(frozen=True)
+class FusedOptimizer:
+    """Duck-types optax.GradientTransformation (init/update with standard
+    updates-tree semantics) plus `update_and_apply`, which returns
+    (new_params, new_opt_state) with p - lr*u folded into the same per-leaf
+    traversal as the m/v updates — one HBM pass per leaf instead of the extra
+    read(params,updates)+write(params) that optax.apply_updates costs
+    (measured 1.43x the optimizer's HBM roofline, BASELINE.md)."""
+
+    init: Any
+    update: Any
+    update_and_apply: Any
+
+
 def fused_adamw(schedule, *, b1: float = 0.9, b2: float = 0.999,
-                eps: float = 1e-8, weight_decay: float = 0.0
-                ) -> optax.GradientTransformation:
+                eps: float = 1e-8, weight_decay: float = 0.0) -> FusedOptimizer:
     """AdamW with the whole per-leaf update in ONE traversal — numerically
     optax.adamw(schedule) (bias correction with count+1, decay added before lr
     scaling, lr taken at the pre-increment count like optax.scale_by_schedule)
@@ -64,7 +84,7 @@ def fused_adamw(schedule, *, b1: float = 0.9, b2: float = 0.999,
         return {"count": jnp.zeros((), jnp.int32),
                 "m": jax.tree.map(z, params), "v": jax.tree.map(z, params)}
 
-    def update(grads, state, params=None):
+    def _run(grads, state, params, apply: bool):
         count = state["count"]
         c1 = (count + 1).astype(jnp.float32)
         bc1 = 1.0 - b1 ** c1
@@ -77,19 +97,25 @@ def fused_adamw(schedule, *, b1: float = 0.9, b2: float = 0.999,
             u = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
             if weight_decay:
                 u = u + weight_decay * p
-            return -lr_t * u, m2, v2
+            return (p - lr_t * u) if apply else (-lr_t * u), m2, v2
 
         out = jax.tree.map(leaf, grads, params, state["m"], state["v"])
         # unzip the 3-tuples in one pass
-        updates = jax.tree.map(lambda t: t[0], out,
-                               is_leaf=lambda t: isinstance(t, tuple))
+        first = jax.tree.map(lambda t: t[0], out,
+                             is_leaf=lambda t: isinstance(t, tuple))
         new_m = jax.tree.map(lambda t: t[1], out,
                              is_leaf=lambda t: isinstance(t, tuple))
         new_v = jax.tree.map(lambda t: t[2], out,
                              is_leaf=lambda t: isinstance(t, tuple))
-        return updates, {"count": count + 1, "m": new_m, "v": new_v}
+        return first, {"count": count + 1, "m": new_m, "v": new_v}
 
-    return optax.GradientTransformation(init, update)
+    def update(grads, state, params=None):
+        return _run(grads, state, params, apply=False)
+
+    def update_and_apply(grads, state, params):
+        return _run(grads, state, params, apply=True)
+
+    return FusedOptimizer(init, update, update_and_apply)
 
 
 def make_adamw(lr: float = 1e-5, *, warmup_steps: int = 5000,
@@ -98,6 +124,11 @@ def make_adamw(lr: float = 1e-5, *, warmup_steps: int = 5000,
                grad_clip: float | None = None,
                fused: bool = True) -> optax.GradientTransformation:
     sched = linear_warmup_schedule(lr, warmup_steps, total_steps)
+    if fused and grad_clip is None:
+        # FusedOptimizer exposes update_and_apply (single-traversal p update);
+        # chain() would discard it, so only taken when no clip stage precedes
+        return fused_adamw(sched, b1=b1, b2=b2, eps=eps,
+                           weight_decay=weight_decay)
     parts = []
     if grad_clip is not None:
         parts.append(optax.clip_by_global_norm(grad_clip))

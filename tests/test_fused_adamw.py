@@ -35,6 +35,25 @@ def test_fused_matches_optax_adamw():
         np.testing.assert_allclose(np.asarray(r), np.asarray(g), rtol=1e-6)
 
 
+def test_update_and_apply_matches_two_pass():
+    """The single-traversal param update (apply_gradients' fused path) must be
+    numerically identical to update() + optax.apply_updates."""
+    params = {"a": jnp.linspace(-1, 1, 12).reshape(4, 3),
+              "b": jnp.full((5,), 2.0)}
+    tx = make_adamw(1e-3, warmup_steps=2, total_steps=10, weight_decay=0.01)
+    assert hasattr(tx, "update_and_apply")
+    st1 = tx.init(params)
+    st2 = tx.init(params)
+    g = jax.tree.map(lambda x: x * 0.1 + 0.05, params)
+    u, st1 = tx.update(g, st1, params)
+    p_ref = optax.apply_updates(params, u)
+    p_got, st2 = tx.update_and_apply(g, st2, params)
+    for r, got in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_got)):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(got), rtol=1e-7)
+    for r, got in zip(jax.tree.leaves(st1), jax.tree.leaves(st2)):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(got), rtol=1e-7)
+
+
 def test_fused_with_grad_clip():
     params = {"w": jnp.ones((3, 3))}
     tx = make_adamw(1e-2, warmup_steps=0, total_steps=100, grad_clip=1.0)
