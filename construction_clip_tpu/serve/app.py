@@ -107,15 +107,21 @@ class PredictService:
         return slot[0]
 
     def _drain_loop(self):
-        """Dedicated batcher: the coalescence window elapses with NO lock held
-        (requests keep queueing and the non-batched path stays free); a full
-        backlog skips the window entirely so the device never idles."""
+        """Dedicated batcher with an ADAPTIVE coalescence window: the fixed
+        window is paid only when requests arrive while the device is idle
+        (coalescing near-simultaneous arrivals); anything that piled up while
+        the previous batch was on the device is drained immediately — under
+        sustained load the device never waits, so the window stops taxing
+        every cycle's tail latency. The window elapses with NO lock held
+        (requests keep queueing and the non-batched path stays free)."""
         while True:
+            arrived_while_idle = False
             with self._cv:
                 while not self._pending:
                     self._cv.wait()
+                    arrived_while_idle = True
                 backlog_full = len(self._pending) >= self._max_batch
-            if not backlog_full:
+            if arrived_while_idle and not backlog_full:
                 time.sleep(self._window)  # let concurrent requests pile up
             with self._cv:
                 batch = self._pending[: self._max_batch]

@@ -63,40 +63,101 @@ def main():
 
     rng = np.random.default_rng(0)
     img = (rng.random((480, 640, 3)) * 255).astype(np.uint8)
+    imgs = [(rng.random((480, 640, 3)) * 255).astype(np.uint8) for _ in range(8)]
 
-    svc = PredictService(pipe, use_beam=False, batch_window_ms=25, max_batch=16)
-    # warm the power-of-two batch shapes (app pads each drain to one of these)
-    svc.predict(img)
-    for n in (2, 4, 8, 16):
-        with cf.ThreadPoolExecutor(n) as pool:
-            list(pool.map(svc.predict, [img] * n))
-    log("warm")
+    def drive(svc):
+        """(single-request ms, req/s @ 24-way, p50 ms, p99 ms) for one service."""
+        svc.predict(img)  # warm the power-of-two batch shapes
+        for n in (2, 4, 8, 16, 24):
+            with cf.ThreadPoolExecutor(n) as pool:
+                list(pool.map(svc.predict, [img] * n))
+        log("warm")
+        t0 = time.perf_counter()
+        for _ in range(10):
+            svc.predict(img)
+        lat_ms = (time.perf_counter() - t0) / 10 * 1e3
+        # 3 independent 24-way windows, report the median-throughput window's
+        # stats: single-window numbers swung 32-40 req/s run-to-run on this
+        # nproc=1 host (thread-scheduling noise, not device variance)
+        N = 96
+        trials = []
+        for _ in range(3):
+            lats: list = []
 
-    t0 = time.perf_counter()
-    for _ in range(10):
-        svc.predict(img)
-    lat_ms = (time.perf_counter() - t0) / 10 * 1e3
+            def timed(i):
+                s0 = time.perf_counter()
+                svc.predict(img)
+                lats.append(time.perf_counter() - s0)
 
-    N = 96
-    lats: list = []
+            t0 = time.perf_counter()
+            with cf.ThreadPoolExecutor(24) as pool:
+                list(pool.map(timed, range(N)))
+            thr = N / (time.perf_counter() - t0)
+            lats_ms = sorted(l * 1e3 for l in lats)
+            trials.append((thr, lats_ms[len(lats_ms) // 2],
+                           lats_ms[min(len(lats_ms) - 1,
+                                       int(len(lats_ms) * 0.99))]))
+        trials.sort()
+        thr, p50, p99 = trials[1]
+        return (lat_ms, thr, p50, p99,
+                [round(t[0], 2) for t in trials])
 
-    def timed(i):
-        s0 = time.perf_counter()
-        svc.predict(img)
-        lats.append(time.perf_counter() - s0)
+    # max_batch sweep: at 24-way concurrency max_batch=32 drains every waiting
+    # request in ONE device batch (no second-cycle stragglers = the p99 tail),
+    # while 16 splits the backlog 16+8 and the 8 wait a full service cycle
+    best = None
+    for mb in (16, 32):
+        svc = PredictService(pipe, use_beam=False, batch_window_ms=25,
+                             max_batch=mb)
+        lat_ms, thr, p50, p99, thr_trials = drive(svc)
+        log(f"fp mb={mb}: {thr:.2f} req/s p50={p50:.0f} p99={p99:.0f} "
+            f"trials={thr_trials}")
+        if best is None or thr > best[1]:
+            best = (mb, thr, lat_ms, p50, p99, thr_trials, svc)
+    mb, thr, lat_ms, p50, p99, thr_trials, svc = best
+    results = {"single_request_ms": round(lat_ms, 1),
+               "concurrent_req_s_24way": round(thr, 2),
+               "req_s_trials": thr_trials,
+               "p50_ms": round(p50, 1), "p99_ms": round(p99, 1),
+               "batch_window_ms": 25, "max_batch": mb}
+    log(f"fp best: {results}")
 
-    t0 = time.perf_counter()
-    with cf.ThreadPoolExecutor(24) as pool:
-        list(pool.map(timed, range(N)))
-    thr = N / (time.perf_counter() - t0)
-    lats_ms = sorted(l * 1e3 for l in lats)
-    p50 = lats_ms[len(lats_ms) // 2]
-    p99 = lats_ms[min(len(lats_ms) - 1, int(len(lats_ms) * 0.99))]
+    # int8 configuration (the apps/serve.py --int8 path): quantized CLIP image
+    # tower + weight-only int8 GPT-2. Parity vs the bf16 service on 8 images:
+    # cosine of the CLIP features driving the prefix, and caption agreement.
+    from dataclasses import replace as dc_replace
 
-    print(json.dumps({"single_request_ms": round(lat_ms, 1),
-                      "concurrent_req_s_24way": round(thr, 2),
-                      "p50_ms": round(p50, 1), "p99_ms": round(p99, 1),
-                      "batch_window_ms": 25, "max_batch": 16}))
+    from construction_clip_tpu.models.clip.quant import quantize_clip
+    from construction_clip_tpu.models.gpt2 import quantize_gpt2
+
+    from construction_clip_tpu.data.pipeline import host_shape_unify
+    from construction_clip_tpu.data.preprocess import preprocess_batch
+
+    qpipe = dc_replace(pipe, clip_params=quantize_clip(pipe.clip_params),
+                       cap_params=dict(pipe.cap_params,
+                                       gpt=quantize_gpt2(pipe.cap_params["gpt"])))
+    size = pipe.clip_cfg.vision.image_size
+    staged = preprocess_batch(
+        np.stack([host_shape_unify(i, 256) for i in imgs]), size)
+    bf16_feats = np.asarray(pipe.classify_and_embed(staged)[0], np.float32)
+    int8_feats = np.asarray(qpipe.classify_and_embed(staged)[0], np.float32)
+    cos = float(np.mean(np.sum(bf16_feats * int8_feats, axis=-1)
+                        / (np.linalg.norm(bf16_feats, axis=-1)
+                           * np.linalg.norm(int8_feats, axis=-1))))
+    caps_fp = [svc.predict(i)["caption"] for i in imgs]
+
+    qsvc = PredictService(qpipe, use_beam=False, batch_window_ms=25,
+                          max_batch=mb)
+    caps_q = [qsvc.predict(i)["caption"] for i in imgs]
+    agree = float(np.mean([a == b for a, b in zip(caps_fp, caps_q)]))
+    qlat, qthr, qp50, qp99, qtrials = drive(qsvc)
+    results.update({"int8_single_request_ms": round(qlat, 1),
+                    "int8_concurrent_req_s_24way": round(qthr, 2),
+                    "int8_req_s_trials": qtrials,
+                    "int8_p50_ms": round(qp50, 1), "int8_p99_ms": round(qp99, 1),
+                    "int8_caption_cos": round(cos, 4),
+                    "int8_caption_agreement": agree})
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":
