@@ -138,6 +138,13 @@ def _lm_logits(p, x):
     return (x @ p["wte"].T).astype(jnp.float32)
 
 
+UNROLL_DECODE = False  # measured on v5e (tools/attr_decode A/B): the scan
+#   WINS — 29.9k vs 28.4k tok/s greedy B=32, 2685 vs 2193 B=1. XLA fuses the
+#   scan's dynamic_index cache slice (no copy materializes); unrolling only
+#   bloats the program. Kept as an A/B flag.
+DECODE_ATTN_KERNEL = False  # t==1 attention via ops/pallas_decode_attention
+
+
 def _attn_uncached(q, k, v, attn_bias, return_probs: bool = False):
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits *= q.shape[-1] ** -0.5
@@ -239,29 +246,65 @@ def gpt2_forward(
         # [L,B,H,T_max,Dh] buffers (XLA aliases scan/while carries, so per decode
         # step the HBM writes are ~L*B*H*t*Dh elements, not a full cache copy —
         # the difference between ~13% and roofline HBM utilization at B=32).
-        def body(carry, lp):
-            h, ck_all, cv_all, l = carry
+        def layer_body(lp, h, ck_all, cv_all, l, static: bool):
             y = layer_norm(h, **lp["ln_1"], eps=cfg.layer_norm_epsilon)
             qkv = _linear(y, lp["attn"]["c_attn_w"], lp["attn"]["c_attn_b"])
             q, k, v = (split_heads(z, n_heads) for z in jnp.split(qkv, 3, axis=-1))
             ck_all = jax.lax.dynamic_update_slice(
-                ck_all, k.astype(ck_all.dtype)[None], (l, 0, 0, start, 0))
+                ck_all, k.astype(ck_all.dtype)[None],
+                (l, 0, 0, start, 0))
             cv_all = jax.lax.dynamic_update_slice(
                 cv_all, v.astype(cv_all.dtype)[None], (l, 0, 0, start, 0))
-            ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
-            cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
-            out = _attn_over_cache(q, ck, cv, start, attn_bias, cache_ancestry)
+            if (t == 1 and DECODE_ATTN_KERNEL and attn_bias is None
+                    and cache_ancestry is None):
+                from construction_clip_tpu.ops import pallas_decode_attention
+
+                out = pallas_decode_attention.decode_step_attention(
+                    q, ck_all, cv_all, jnp.asarray(l, jnp.int32), start)
+            else:
+                if static:
+                    # l is a Python int: static slices fuse into the attention
+                    # reads — no [B,H,T,Dh] layer-slice copy materializes
+                    ck, cv = ck_all[l], cv_all[l]
+                else:
+                    ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0,
+                                                      keepdims=False)
+                    cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0,
+                                                      keepdims=False)
+                out = _attn_over_cache(q, ck, cv, start, attn_bias,
+                                       cache_ancestry)
             h = h + _linear(merge_heads(out), lp["attn"]["c_proj_w"],
                             lp["attn"]["c_proj_b"])
             y = layer_norm(h, **lp["ln_2"], eps=cfg.layer_norm_epsilon)
             y = gelu_new(_linear(y, lp["mlp"]["c_fc_w"], lp["mlp"]["c_fc_b"]))
             h = h + _linear(y, lp["mlp"]["c_proj_w"], lp["mlp"]["c_proj_b"])
-            return (h, ck_all, cv_all, l + 1), None
+            return h, ck_all, cv_all
 
-        if remat:
-            body = jax.checkpoint(body)
-        (x, nk, nv, _), _ = jax.lax.scan(
-            body, (x, cache.k, cache.v, jnp.zeros((), jnp.int32)), p["blocks"])
+        if t == 1 and UNROLL_DECODE:
+            # decode step: UNROLL the layer loop so every cache access is a
+            # static slice/update. The scan's dynamic_index_in_dim materialized
+            # each layer's [B,H,T_max,Dh] k AND v windows every step (~28 MB of
+            # extra HBM traffic per layer at B=32, T=141 — measured 0.76 ms of
+            # the 1.0 ms device step, vs ~0.2 ms of unavoidable k+v reads;
+            # tools/attr_decode.py)
+            h, ck_all, cv_all = x, cache.k, cache.v
+            for l in range(cfg.n_layer):
+                lp = jax.tree.map(lambda z: z[l], p["blocks"])
+                h, ck_all, cv_all = layer_body(lp, h, ck_all, cv_all, l,
+                                               static=True)
+            x, nk, nv = h, ck_all, cv_all
+        else:
+            def body(carry, lp):
+                h, ck_all, cv_all, l = carry
+                h, ck_all, cv_all = layer_body(lp, h, ck_all, cv_all, l,
+                                               static=False)
+                return (h, ck_all, cv_all, l + 1), None
+
+            if remat:
+                body = jax.checkpoint(body)
+            (x, nk, nv, _), _ = jax.lax.scan(
+                body, (x, cache.k, cache.v, jnp.zeros((), jnp.int32)),
+                p["blocks"])
         x = layer_norm(x, **p["ln_f"], eps=cfg.layer_norm_epsilon)
         logits = _lm_logits(p, x)
         return logits, KVCache(k=nk, v=nv, length=cache.length + t)
