@@ -15,11 +15,25 @@ component costs are measured IN-JIT (per-dispatch tunnel overhead excluded):
   scan_floor loop_floor under lax.scan (fixed 100 steps, no cond) — if the
              while floor is a cond-read hazard copying the cache, scan dodges it
   scan_full  the full body under lax.scan (no early-exit semantics)
+  op_floor   body = 120 CHAINED trivial ops on a [B, n_embd] tensor — the
+             per-op issue latency floor for a decode-step-shaped program
+             (the real body is ~10 ops x 12 layers + head); if this measures
+             a large fraction of the full step, op dispatch binds the decode
+             and no kernel fusion of the attention read can reach roofline
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/cctpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,6 +69,27 @@ def make_decode(variant: str):
             s = (jnp.zeros((), jnp.int32), tok0, jnp.full((), PROMPT, jnp.int32))
             s = jax.lax.while_loop(lambda s: s[0] < STEPS, tiny_body, s)
             return s[1]
+
+        if variant == "op_floor":
+            # 120 CHAINED [B,768]@[768,768] dots — XLA cannot fuse dots into
+            # each other, so each is its own kernel; tiny GEMMs are
+            # latency-bound, giving the per-op issue floor at the real body's
+            # op granularity (~10 ops x 12 layers + head)
+            w1 = (p["blocks"]["attn"]["c_proj_w"][0]).astype(jnp.bfloat16)
+            w2 = (p["blocks"]["ln_1"]["scale"][0] + 1.0).astype(jnp.bfloat16)
+
+            def op_body(s):
+                step, x, length = s
+                for i in range(60):
+                    x = (x @ w1).astype(jnp.bfloat16)
+                    x = (x * w2 @ w1).astype(jnp.bfloat16)
+                x = x * 1e-30  # keep magnitudes bounded across 100 steps
+                return step + 1, x, length + 1
+
+            x0 = jnp.zeros((B, cfg.n_embd), jnp.bfloat16)
+            s = (jnp.zeros((), jnp.int32), x0, jnp.full((), PROMPT, jnp.int32))
+            s = jax.lax.while_loop(lambda s: s[0] < STEPS, op_body, s)
+            return s[1][:, 0]
 
         def body(s):
             step, tok, ck_all, cv_all, length = s
@@ -113,7 +148,8 @@ embeds = jax.random.normal(jax.random.key(1), (B, PROMPT, cfg.n_embd),
                            jnp.bfloat16)
 results = {}
 for variant in ("full", "no_attn", "no_cachew", "no_mlp", "no_lmhead",
-                "loop_floor", "floor_tiny", "scan_floor", "scan_full"):
+                "loop_floor", "floor_tiny", "scan_floor", "scan_full",
+                "op_floor"):
     fn = make_decode(variant)
     out = fn(params, embeds)
     _ = np.asarray(out)

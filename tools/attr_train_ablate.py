@@ -14,10 +14,19 @@ fast path; ablations swap block sub-parts for identity):
   fwd_only   10 scanned loss forwards, no grad/optimizer
   adamw_only 10 scanned optimizer updates on fixed grads
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/cctpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 

@@ -3,6 +3,11 @@
 Checks fwd numerics vs the XLA einsum path and that grads flow (bwd kernel
 compiles) at [B=8, H=16, T=257, dh=64] bf16.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax
