@@ -131,3 +131,20 @@ def test_sample_decode_contract(pair, rng):
     res2 = sample_decode(params, GCFG, jnp.asarray(embeds), jax.random.key(0),
                          max_steps=10, stop_token=STOP, top_p=0.8)
     np.testing.assert_array_equal(np.asarray(res.tokens), np.asarray(res2.tokens))
+
+
+def test_unroll_flag_equivalence(pair, rng):
+    """The UNROLL_DECODE A/B flag (models/gpt2) must not change tokens."""
+    import construction_clip_tpu.models.gpt2 as gpt2_mod
+
+    _, params = pair
+    embeds = jnp.asarray(rng.standard_normal((3, 5, GCFG.n_embd)), jnp.float32)
+    out_scan = greedy_decode(params, GCFG, embeds, max_steps=12, stop_token=STOP)
+    gpt2_mod.UNROLL_DECODE = True
+    try:
+        out_unroll = greedy_decode(params, GCFG, embeds, max_steps=12,
+                                   stop_token=STOP)
+    finally:
+        gpt2_mod.UNROLL_DECODE = False
+    np.testing.assert_array_equal(np.asarray(out_scan.tokens),
+                                  np.asarray(out_unroll.tokens))

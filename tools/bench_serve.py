@@ -2,6 +2,13 @@
 """Serving latency/throughput (the application.py product path) on the real chip:
 full ViT-B/32 + GPT-2-base stack, in-process PredictService (no HTTP overhead),
 single-request warm latency and micro-batched concurrent throughput.
+
+Note on int8_caption_agreement: this bench runs RANDOM weights, where a
+100-step greedy decode chaotically amplifies the int8 tower's ~4e-4 feature
+perturbation (cosine 0.9996) into different token paths — agreement ~0 is
+expected here and is NOT a quantization-quality signal. With trained
+checkpoints the peaked logits make decode stable; the feature cosine is the
+weight-independent fidelity metric.
 """
 
 from __future__ import annotations
