@@ -96,12 +96,21 @@ def clipcap_forward(params, ccfg: ClipCapConfig, gcfg: GPT2Config, *,
     return logits
 
 
-def caption_loss(logits, tokens, ccfg: ClipCapConfig, *, ignore_id: int = 0):
-    """CE on logits[:, prefix+attr-1 : -1] vs tokens, ignoring ignore_id — the exact
-    slice/mask semantics of reference train.py:356-357."""
+def caption_loss_parts(logits, tokens, ccfg: ClipCapConfig, *, ignore_id: int = 0):
+    """(sum of masked token NLL, valid-token count) — pieces of the global
+    token-mean CE, kept separate so DP shards can normalize by the GLOBAL
+    count (a pmean of per-shard means diverges from the reference objective
+    whenever shards carry different amounts of ignore_id padding)."""
     offset = ccfg.prefix_length + ccfg.attribute_length
     pred = logits[:, offset - 1: -1]  # [B, T_tokens, V]
     logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, tokens[..., None], axis=-1)[..., 0]
     mask = (tokens != ignore_id).astype(jnp.float32)
-    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(nll * mask), jnp.sum(mask)
+
+
+def caption_loss(logits, tokens, ccfg: ClipCapConfig, *, ignore_id: int = 0):
+    """CE on logits[:, prefix+attr-1 : -1] vs tokens, ignoring ignore_id — the exact
+    slice/mask semantics of reference train.py:356-357."""
+    total, count = caption_loss_parts(logits, tokens, ccfg, ignore_id=ignore_id)
+    return total / jnp.maximum(count, 1.0)

@@ -74,11 +74,20 @@ def clipcap_t5_forward(params, ccfg: ClipCapConfig, tcfg: T5Config, *,
     return logits
 
 
-def t5_caption_loss(logits, input_ids, ccfg: ClipCapConfig, *, ignore_id: int = 0):
-    """CE on logits[:, prefix_len-1:-1] vs input_ids, ignore 0
-    (reference train_t5.py:357,371-372)."""
+def t5_caption_loss_parts(logits, input_ids, ccfg: ClipCapConfig, *,
+                          ignore_id: int = 0):
+    """(sum of masked token NLL, valid-token count) — see
+    clipcap.model.caption_loss_parts for why DP needs the pieces."""
     pred = logits[:, ccfg.prefix_length - 1: -1]
     logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, input_ids[..., None], axis=-1)[..., 0]
     mask = (input_ids != ignore_id).astype(jnp.float32)
-    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(nll * mask), jnp.sum(mask)
+
+
+def t5_caption_loss(logits, input_ids, ccfg: ClipCapConfig, *, ignore_id: int = 0):
+    """CE on logits[:, prefix_len-1:-1] vs input_ids, ignore 0
+    (reference train_t5.py:357,371-372)."""
+    total, count = t5_caption_loss_parts(logits, input_ids, ccfg,
+                                         ignore_id=ignore_id)
+    return total / jnp.maximum(count, 1.0)

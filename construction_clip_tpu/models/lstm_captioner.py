@@ -107,14 +107,24 @@ def captioner_forward(params, features, captions, *, dropout_rate: float = 0.0,
     return logits.transpose(1, 0, 2), alphas.transpose(1, 0, 2)
 
 
-def caption_lm_loss(logits, captions, *, pad_id: int = 0):
-    """CE of logits[:, s] vs captions[:, s+1] (reference train.py:149-150 targets
-    captions[:,1:]), padding masked."""
+def caption_lm_loss_parts(logits, captions, *, pad_id: int = 0):
+    """(sum of masked token NLL, number of valid tokens) — the pieces of the
+    global token-mean CE. Kept separate so data-parallel shards can psum BOTH
+    before dividing: shards carry different amounts of padding, and a pmean of
+    per-shard means would upweight short-caption shards vs the reference's
+    single-device objective."""
     targets = captions[:, 1:]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     mask = (targets != pad_id).astype(jnp.float32)
-    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(nll * mask), jnp.sum(mask)
+
+
+def caption_lm_loss(logits, captions, *, pad_id: int = 0):
+    """CE of logits[:, s] vs captions[:, s+1] (reference train.py:149-150 targets
+    captions[:,1:]), padding masked."""
+    total, count = caption_lm_loss_parts(logits, captions, pad_id=pad_id)
+    return total / jnp.maximum(count, 1.0)
 
 
 def generate_caption(params, features, *, sos_id: int, eos_id: int,

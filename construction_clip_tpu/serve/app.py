@@ -107,21 +107,21 @@ class PredictService:
         return slot[0]
 
     def _drain_loop(self):
-        """Dedicated batcher with an ADAPTIVE coalescence window: the fixed
-        window is paid only when requests arrive while the device is idle
-        (coalescing near-simultaneous arrivals); anything that piled up while
-        the previous batch was on the device is drained immediately — under
-        sustained load the device never waits, so the window stops taxing
-        every cycle's tail latency. The window elapses with NO lock held
-        (requests keep queueing and the non-batched path stays free)."""
+        """Dedicated batcher: sleep the coalescence window whenever the
+        backlog is not yet a full batch, drain immediately when it is. An
+        earlier "adaptive" variant skipped the window when requests were
+        already pending at re-check — under closed-loop load that races the
+        post-batch resubmission wave (the first 1-2 resubmitters get drained
+        as a tiny batch and the other ~22 pay a whole extra service cycle;
+        measured 40 -> 24 req/s, p50 485 -> 985 ms at 24-way). The window
+        elapses with NO lock held (requests keep queueing and the
+        non-batched path stays free)."""
         while True:
-            arrived_while_idle = False
             with self._cv:
                 while not self._pending:
                     self._cv.wait()
-                    arrived_while_idle = True
                 backlog_full = len(self._pending) >= self._max_batch
-            if arrived_while_idle and not backlog_full:
+            if not backlog_full:
                 time.sleep(self._window)  # let concurrent requests pile up
             with self._cv:
                 batch = self._pending[: self._max_batch]

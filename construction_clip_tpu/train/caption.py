@@ -18,7 +18,10 @@ from jax import shard_map
 from construction_clip_tpu.core.configs import ClipCapConfig, GPT2Config
 from construction_clip_tpu.core.mesh import DATA_AXIS
 from construction_clip_tpu.core.precision import Policy, DEFAULT_POLICY
-from construction_clip_tpu.models.clipcap import clipcap_forward, caption_loss
+import jax.numpy as jnp
+
+from construction_clip_tpu.models.clipcap import clipcap_forward
+from construction_clip_tpu.models.clipcap.model import caption_loss_parts
 from construction_clip_tpu.train.state import TrainState, apply_gradients
 
 
@@ -42,14 +45,23 @@ def make_caption_train_step(ccfg: ClipCapConfig, gcfg: GPT2Config, tx, mesh: Mes
                                  clip_embed=batch["prefix"],
                                  attribute_tokens=batch["attribute"],
                                  policy=policy, remat=remat)
-        return caption_loss(logits, batch["tokens"], ccfg)
+        total, count = caption_loss_parts(logits, batch["tokens"], ccfg)
+        if n_data > 1:
+            # local numerator / GLOBAL valid-token count: psum(grads) then
+            # equals the single-device global-batch gradient for any
+            # per-shard padding mix (pmean of per-shard token-means does
+            # not). Numerator must NOT be psum'd inside the differentiated
+            # function — psum's transpose under shard_map is psum, which
+            # double-counts gradients by n_data.
+            count = jax.lax.psum(count, DATA_AXIS)
+        return total / jnp.maximum(count, 1.0)
 
     def sharded_step(state: TrainState, frozen_gpt, tokens, prefix, attribute):
         batch = {"tokens": tokens, "prefix": prefix, "attribute": attribute}
         loss, grads = jax.value_and_grad(loss_fn)(state.params, frozen_gpt, batch)
         if n_data > 1:
-            grads = jax.lax.pmean(grads, DATA_AXIS)
-            loss = jax.lax.pmean(loss, DATA_AXIS)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            loss = jax.lax.psum(loss, DATA_AXIS)  # global token-mean metric
         new_state = apply_gradients(state, grads, tx)
         return new_state, {"loss": loss}
 

@@ -235,10 +235,16 @@ def tv_detection_losses(params, image, gt_boxes, gt_labels, *, image_size: int,
     loss_rpn_box_reg = jnp.sum(smooth_l1(obj_deltas - rpn_targets).sum(-1) * fg) \
         / n_sampled
 
-    # ---- proposals (training top-k) ++ gt boxes, matched at 0.5 (no rescue)
+    # ---- proposals (training top-k) ++ gt boxes, matched at 0.5 (no rescue).
+    # stop_gradient: torchvision decodes proposals from
+    # pred_bbox_deltas.detach() (rpn.py RegionProposalNetwork.forward), so ROI
+    # losses never backprop into the RPN head through proposal coordinates —
+    # the RPN trains only from its own objectness/box losses above
     proposals, keep = rpn_propose(
         params, p_feats, image_size=image_size, pre_nms_topk=pre_nms_topk,
         post_nms_topk=post_nms_topk, rpn_nms_candidates=rpn_nms_candidates)
+    proposals = jax.lax.stop_gradient(proposals)
+    keep = jax.lax.stop_gradient(keep)
     rois = jnp.concatenate([proposals, gt_boxes])            # [R, 4]
     row_valid = jnp.concatenate([keep, gt_valid]).astype(jnp.float32)
     _, max_gt = proposals.shape[0], gt_boxes.shape[0]

@@ -3,8 +3,12 @@
 The reference trainer is single-GPU (reference attention_model/train.py:137-163:
 CE on captions[:,1:], Adam lr 3e-4, dropout 0.3 on the decoder hidden state).
 Here the step is DP over the feature batch like every other trainer in this
-package: per-shard grads are pmean'd over the data axis, so the update equals
-the single-device update on the global batch.
+package. The loss is the GLOBAL token mean: each shard contributes
+(sum of masked NLL, valid-token count) and both are psum'd before dividing —
+a pmean of per-shard means would diverge from the single-device objective
+whenever shards carry different amounts of caption padding. Grads are scaled
+by the same global count, so the update equals the single-device update on
+the global batch for ANY padding distribution.
 
 Dropout note: the reference draws ONE dropout mask stream per step. Under DP
 each shard folds the step key with its data-axis index, which is a valid (but
@@ -22,8 +26,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from construction_clip_tpu.core.mesh import DATA_AXIS
+import jax.numpy as jnp
+
 from construction_clip_tpu.models.lstm_captioner import (captioner_forward,
-                                                         caption_lm_loss)
+                                                         caption_lm_loss_parts)
 from construction_clip_tpu.train.state import TrainState, apply_gradients
 
 
@@ -37,7 +43,17 @@ def make_lstm_train_step(tx, mesh: Mesh, *, dropout_rate: float = 0.3):
     def loss_fn(params, features, tokens, rng):
         logits, _ = captioner_forward(params, features, tokens,
                                       dropout_rate=dropout_rate, rng=rng)
-        return caption_lm_loss(logits, tokens)
+        total, count = caption_lm_loss_parts(logits, tokens)
+        if n_data > 1:
+            # LOCAL numerator over GLOBAL denominator: each shard's loss is
+            # its contribution to the global token mean, so psum(grads) is
+            # exactly the single-device global-batch gradient for any
+            # per-shard padding mix. Do NOT psum the numerator inside the
+            # differentiated function — psum's transpose under shard_map is
+            # psum, which double-counts the gradient by n_data (measured
+            # ratio exactly 2.0 on a 2-way mesh).
+            count = jax.lax.psum(count, DATA_AXIS)
+        return total / jnp.maximum(count, 1.0)
 
     def sharded_step(state: TrainState, features, tokens, rng):
         if n_data > 1 and dropout_rate > 0.0:
@@ -45,8 +61,8 @@ def make_lstm_train_step(tx, mesh: Mesh, *, dropout_rate: float = 0.3):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, features,
                                                   tokens, rng)
         if n_data > 1:
-            grads = jax.lax.pmean(grads, DATA_AXIS)
-            loss = jax.lax.pmean(loss, DATA_AXIS)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            loss = jax.lax.psum(loss, DATA_AXIS)  # global token-mean metric
         return apply_gradients(state, grads, tx), {"loss": loss}
 
     if n_data > 1:

@@ -14,8 +14,10 @@ from jax import shard_map
 from construction_clip_tpu.core.configs import ClipCapConfig, T5Config
 from construction_clip_tpu.core.mesh import DATA_AXIS
 from construction_clip_tpu.core.precision import Policy, DEFAULT_POLICY
+import jax.numpy as jnp
+
 from construction_clip_tpu.models.clipcap.t5_model import (
-    clipcap_t5_forward, t5_caption_loss)
+    clipcap_t5_forward, t5_caption_loss_parts)
 from construction_clip_tpu.train.state import apply_gradients
 
 
@@ -33,15 +35,21 @@ def make_t5_caption_train_step(ccfg: ClipCapConfig, tcfg: T5Config, tx, mesh: Me
                                     input_ids=batch["input_ids"],
                                     attention_mask=batch["attention_mask"],
                                     clip_embed=batch["prefix"], policy=policy)
-        return t5_caption_loss(logits, batch["input_ids"], ccfg)
+        total, count = t5_caption_loss_parts(logits, batch["input_ids"], ccfg)
+        if n_data > 1:
+            # local numerator / GLOBAL token count (see train/caption.py:
+            # pmean of per-shard token-means diverges under uneven padding;
+            # psum'ing the numerator in here would double-count grads)
+            count = jax.lax.psum(count, DATA_AXIS)
+        return total / jnp.maximum(count, 1.0)
 
     def sharded_step(state, frozen_t5, input_ids, attention_mask, prefix):
         batch = {"input_ids": input_ids, "attention_mask": attention_mask,
                  "prefix": prefix}
         loss, grads = jax.value_and_grad(loss_fn)(state.params, frozen_t5, batch)
         if n_data > 1:
-            grads = jax.lax.pmean(grads, DATA_AXIS)
-            loss = jax.lax.pmean(loss, DATA_AXIS)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            loss = jax.lax.psum(loss, DATA_AXIS)  # global token-mean metric
         return apply_gradients(state, grads, tx), {"loss": loss}
 
     if n_data > 1:

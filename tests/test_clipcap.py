@@ -144,3 +144,40 @@ def test_full_finetune_updates_gpt(stack, rng):
                   for a, b in zip(jax.tree.leaves(gpt0),
                                   jax.tree.leaves(state.params["gpt"])))
     assert changed, "GPT params did not update in full-finetune mode"
+
+
+def test_dp_equals_single_device_uneven_padding(stack, rng):
+    """Shards with different valid-token counts: DP loss AND update must equal
+    single-device (global token mean, not pmean of per-shard means)."""
+    import optax
+
+    _, params = stack
+    from construction_clip_tpu.core.mesh import (DATA_AXIS, MODEL_AXIS,
+                                                 create_mesh, replicate,
+                                                 shard_batch)
+    from construction_clip_tpu.train.caption import make_caption_train_step
+    from construction_clip_tpu.train.state import TrainState
+
+    B = 8
+    toks = rng.integers(1, GCFG.vocab_size, (B, 8)).astype(np.int32)
+    toks[:4, 2:] = 0  # first half of the batch mostly padding
+    batch = {
+        "tokens": jnp.asarray(toks),
+        "prefix": jnp.asarray(rng.standard_normal((B, CCFG.clip_dim)).astype(np.float32)),
+        "attribute": jnp.asarray(rng.integers(1, GCFG.vocab_size, (B, 3)).astype(np.int32)),
+    }
+    tx = optax.sgd(0.1)  # linear in grads: well-conditioned equality check
+    out = {}
+    for n in (1, 4):
+        mesh = create_mesh({DATA_AXIS: n, MODEL_AXIS: 1},
+                           devices=jax.devices()[:n])
+        step = make_caption_train_step(CCFG, GCFG, tx, mesh)
+        gpt = replicate(mesh, params["gpt"])
+        st = TrainState.create(
+            replicate(mesh, jax.tree.map(jnp.copy, params["mapper"])), tx)
+        st, m = step(st, gpt, shard_batch(mesh, batch))
+        out[n] = (float(m["loss"]), st.params)
+    np.testing.assert_allclose(out[1][0], out[4][0], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(out[1][1]), jax.tree.leaves(out[4][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)

@@ -120,3 +120,39 @@ def test_t5_train_step_multidevice(pair, rng):
         state, m = step(state, frozen, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_t5_dp_equals_single_device_uneven_padding(pair, rng):
+    """Shards with different valid-token counts: DP loss and update must equal
+    single-device (global token mean; see train/t5.py)."""
+    import optax
+
+    from construction_clip_tpu.core.mesh import (
+        create_mesh, DATA_AXIS, MODEL_AXIS, shard_batch, replicate)
+    from construction_clip_tpu.train.t5 import make_t5_caption_train_step
+    from construction_clip_tpu.train.state import TrainState
+
+    _, params = pair
+    B = 8
+    ids = rng.integers(2, TCFG.vocab_size, (B, 6)).astype(np.int32)
+    ids[:4, 2:] = 0  # first half mostly padding
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.asarray((ids != 0).astype(np.int32)),
+        "prefix": jnp.asarray(rng.standard_normal((B, CCFG.clip_dim)).astype(np.float32)),
+    }
+    tx = optax.sgd(0.1)
+    out = {}
+    for n in (1, 4):
+        mesh = create_mesh({DATA_AXIS: n, MODEL_AXIS: 1},
+                           devices=jax.devices()[:n])
+        step = make_t5_caption_train_step(CCFG, TCFG, tx, mesh)
+        frozen = replicate(mesh, params["t5"])
+        st = TrainState.create(
+            replicate(mesh, jax.tree.map(jnp.copy, params["mapper"])), tx)
+        st, m = step(st, frozen, shard_batch(mesh, batch))
+        out[n] = (float(m["loss"]), st.params)
+    np.testing.assert_allclose(out[1][0], out[4][0], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(out[1][1]), jax.tree.leaves(out[4][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)

@@ -140,11 +140,16 @@ def test_unroll_flag_equivalence(pair, rng):
     _, params = pair
     embeds = jnp.asarray(rng.standard_normal((3, 5, GCFG.n_embd)), jnp.float32)
     out_scan = greedy_decode(params, GCFG, embeds, max_steps=12, stop_token=STOP)
+    # the flag is read at TRACE time: without clearing the jit cache the
+    # second call would replay the scan-path executable and never exercise
+    # the unrolled branch (_drive_decode_ab.py does the same)
     gpt2_mod.UNROLL_DECODE = True
+    jax.clear_caches()
     try:
         out_unroll = greedy_decode(params, GCFG, embeds, max_steps=12,
                                    stop_token=STOP)
     finally:
         gpt2_mod.UNROLL_DECODE = False
+        jax.clear_caches()
     np.testing.assert_array_equal(np.asarray(out_scan.tokens),
                                   np.asarray(out_unroll.tokens))

@@ -411,50 +411,14 @@ def _torch_ref_detector(sd, img01, *, image_size, pre_nms, post_nms, det_per_img
 
     ps = _torch_backbone_fpn(sd, img01)
     with torch.no_grad():
-
-        # RPN: per-level topk -> decode -> clip -> small filter -> per-level NMS
-        cand = []  # (score, box, lvl)
-        for lvl, p_ in enumerate(ps):
-            tt = F.relu(F.conv2d(p_, t("rpn.head.conv.0.0.weight"),
-                                 t("rpn.head.conv.0.0.bias"), padding=1))
-            logits = F.conv2d(tt, t("rpn.head.cls_logits.weight"),
-                              t("rpn.head.cls_logits.bias"))
-            deltas = F.conv2d(tt, t("rpn.head.bbox_pred.weight"),
-                              t("rpn.head.bbox_pred.bias"))
-            logits = logits.permute(0, 2, 3, 1).reshape(-1).numpy()
-            deltas = deltas.permute(0, 2, 3, 1).reshape(-1, 4).numpy()
-            anchors = np.asarray(level_anchors(
-                p_.shape[-2], p_.shape[-1], 4 * 2 ** lvl, ANCHOR_SIZES[lvl]))
-            k = min(pre_nms, len(logits))
-            top = np.argsort(-logits)[:k]
-            boxes = _np_decode(deltas[top], anchors[top], image_size)
-            ok = ((boxes[:, 2] - boxes[:, 0]) > 1e-3) & \
-                 ((boxes[:, 3] - boxes[:, 1]) > 1e-3)
-            for s_, b_ in zip(logits[top][ok], boxes[ok]):
-                cand.append((s_, b_, lvl))
-        proposals = []
-        for lvl in range(5):
-            lb = np.asarray([b for s_, b, l in cand if l == lvl])
-            ls = np.asarray([s_ for s_, b, l in cand if l == lvl])
-            if len(lb) == 0:
-                continue
-            for i in _np_greedy_nms(lb, ls, rpn_nms):
-                proposals.append((ls[i], lb[i]))
-        proposals.sort(key=lambda x: -x[0])
-        prop_boxes = np.asarray([b for _, b in proposals[:post_nms]])
-
-        # ROI heads
-        lvls = np.clip(np.floor(4 + np.log2(
-            np.sqrt(np.maximum((prop_boxes[:, 2] - prop_boxes[:, 0]) *
-                               (prop_boxes[:, 3] - prop_boxes[:, 1]), 1e-12))
-            / 224 + 1e-6)), 2, 5).astype(int) - 2
-        pooled = np.zeros((len(prop_boxes), 7, 7, 256), np.float32)
-        feats_np = [p_.permute(0, 2, 3, 1)[0].numpy() for p_ in ps]
-        for lvl in range(4):
-            rows = np.nonzero(lvls == lvl)[0]
-            if len(rows):
-                pooled[rows] = _np_roi_align(feats_np[lvl], prop_boxes[rows],
-                                             1.0 / (4 * 2 ** lvl))
+        # RPN filtering + multiscale ROIAlign: the SAME helpers the training
+        # parity test uses (single source of the reference semantics —
+        # divergence between inference- and train-parity references would
+        # otherwise be invisible)
+        prop_boxes = _np_rpn_proposals(sd, ps, image_size=image_size,
+                                       pre_nms=pre_nms, post_nms=post_nms,
+                                       rpn_nms=rpn_nms)
+        pooled = _np_multiscale_roi_align(ps, prop_boxes)
         flat = pooled.transpose(0, 3, 1, 2).reshape(len(prop_boxes), -1)
         h6 = np.maximum(flat @ t("roi_heads.box_head.fc6.weight").numpy().T
                         + t("roi_heads.box_head.fc6.bias").numpy(), 0)

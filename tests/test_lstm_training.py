@@ -59,3 +59,33 @@ def test_loss_decreases_with_dropout():
         if first is None:
             first = float(m["loss"])
     assert float(m["loss"]) < first
+
+
+def test_dp_loss_equals_single_device_uneven_padding():
+    """Shards with different valid-token counts: the global-token-mean loss
+    (psum of sums, not pmean of means) must still equal single-device, and so
+    must the parameter update."""
+    params, batch = _setup()
+    # rows 0-3 mostly padding, rows 4-7 full — shard 0 and shard 1 of a 2-way
+    # mesh see very different token counts
+    toks = np.array(batch["tokens"])  # writable copy
+    toks[:4, 2:] = 0
+    batch = dict(batch, tokens=jnp.asarray(toks))
+    # SGD: the update is LINEAR in the grads, so single-vs-multi-device param
+    # equality is well-conditioned (Adam's m/sqrt(v) after one step is
+    # sign(g)-like and amplifies fp32 psum reordering noise on ~0 grads)
+    tx = optax.sgd(0.1)
+    states = {}
+    for n in (1, 2, 4):
+        mesh = create_mesh({DATA_AXIS: n, MODEL_AXIS: 1},
+                           devices=jax.devices()[:n])
+        step = make_lstm_train_step(tx, mesh, dropout_rate=0.0)
+        st = TrainState.create(replicate(mesh, jax.tree.map(jnp.copy, params)), tx)
+        st, m = step(st, shard_batch(mesh, batch), jax.random.key(2))
+        states[n] = (float(m["loss"]), st.params)
+    for n in (2, 4):
+        np.testing.assert_allclose(states[1][0], states[n][0], rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(states[1][1]),
+                        jax.tree.leaves(states[n][1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-5)
