@@ -72,10 +72,18 @@ def apply_block(
 
         if resolve_impl() == "pallas" and fab.supported(x, n_heads):
             # fully-fused LN+QKV+MHA+proj+residual (31% faster than the
-            # composable path at encoder shapes — see the module docstring)
-            x = fab.fused_attention_block(x, params["ln_1"], params["attn"],
+            # composable path at encoder shapes — see the module docstring).
+            # Name the block OUTPUT for selective remat: the fused kernel
+            # never materializes qkv, so the "qkv" checkpoint name cannot
+            # exist on this path (save_qkv degrades to recomputing the fused
+            # block — see apply_stack's remat docstring); "attn_out" still
+            # lets save_big skip that recompute.
+            from jax.ad_checkpoint import checkpoint_name
+
+            x = checkpoint_name(
+                fab.fused_attention_block(x, params["ln_1"], params["attn"],
                                           n_heads=n_heads, causal=is_causal,
-                                          eps=ln_eps)
+                                          eps=ln_eps), "attn_out")
             return _mlp_residual(x, params, act, ln_eps)
     h = layer_norm(x, **params["ln_1"], eps=ln_eps)
     attn_out = qkv_attention(h, params["attn"], n_heads, bias=bias,
@@ -111,11 +119,15 @@ def _mlp_residual(x, params, act, ln_eps):
             return pallas_mlp.fused_mlp_residual(x, params["mlp"], params["ln_2"],
                                                  eps=ln_eps)
     h = layer_norm(x, **params["ln_2"], eps=ln_eps)
-    h = act(h @ params["mlp"]["w_fc"] + params["mlp"]["b_fc"])
-    # named for selective remat: the 4d-wide hidden is the costliest recompute
     from jax.ad_checkpoint import checkpoint_name
 
-    h = checkpoint_name(h, "mlp_hidden")
+    # named for selective remat. Saving the PRE-activation dominates saving the
+    # post-act hidden at equal memory: backward needs act'(preact) regardless,
+    # so a saved hidden still forces the fc GEMM recompute to rebuild preact,
+    # while a saved preact reduces the recompute to elementwise act/act'.
+    pre = checkpoint_name(h @ params["mlp"]["w_fc"] + params["mlp"]["b_fc"],
+                          "mlp_preact")
+    h = checkpoint_name(act(pre), "mlp_hidden")
     return x + (h @ params["mlp"]["w_proj"] + params["mlp"]["b_proj"])
 
 
@@ -142,8 +154,20 @@ def apply_stack(
     remat: False = no rematerialisation; True = full per-layer checkpoint (save
     only layer inputs, recompute everything in backward); or a SELECTIVE policy
     name trading memory for recompute (measured for ViT-L/14, BASELINE.md):
-      "save_qkv"        keep each layer's fused qkv projection
+      "save_qkv"        keep each layer's fused qkv projection. NOTE: on the
+                        fused-attention-block path (T<=256 towers) qkv never
+                        materializes, so there save_qkv recomputes the fused
+                        block in backward (== full remat for the attention
+                        half); it takes full effect on the large-T towers
+                        (e.g. ViT-L/14's T=257 image tower) where remat
+                        matters most
       "save_mlp_hidden" keep each layer's 4d MLP hidden
+      "save_attn_preact" keep each layer's attention-residual output + 4d MLP
+                        PRE-activation (~169 MB/layer at ViT-L b=64): backward
+                        recompute drops to the qkv projection + attention fwd
+                        (for the weight-grad operands) + elementwise act —
+                        the fc GEMM recompute disappears because act' needs
+                        only the saved preact
       "save_qkv_mlp"    keep qkv + mlp_hidden — skips the two widest recompute
                         GEMMs (~85% of the per-layer recompute FLOPs) for
                         ~236 MB/layer at ViT-L b=64
@@ -179,6 +203,8 @@ def apply_stack(
                 "save_qkv": cp.save_only_these_names("qkv"),
                 "save_mlp_hidden": cp.save_only_these_names("mlp_hidden"),
                 "save_qkv_mlp": cp.save_only_these_names("qkv", "mlp_hidden"),
+                "save_attn_preact": cp.save_only_these_names("attn_out",
+                                                             "mlp_preact"),
                 "save_big": cp.save_only_these_names("qkv", "mlp_hidden",
                                                      "attn_out"),
             }[remat]

@@ -85,13 +85,22 @@ def _fa_fwd(q, k, v, is_causal, scale):
 
 
 def _fa_bwd(is_causal, scale, res, g):
-    """Analytic backward. For large T the fp32 probs temps ([B,H,T,T], three of
-    them live at once) dominate HBM — at ViT-L/14 b=64 (T=257) that is ~3.2 GB
-    landing on top of the remat-recompute working set, the round-3 OOM. Since
-    attention is independent per (batch, head), chunk the batch with lax.map so
-    the probs working set stays ~hundreds of MB; exact same math per chunk."""
+    """Analytic backward.
+
+    Preferred path: a Pallas kernel per (batch*head) group that recomputes the
+    fp32 probs IN VMEM from q,k — the [B,H,T,T] probs/dp/ds slabs never touch
+    HBM at all. At ViT-L/14 b=64 (T=257) the jnp backward moves ~810 MB of
+    fp32 panels per layer (write+read of p, dp, ds); on-chip that is ~2 ms of
+    pure HBM traffic per layer, ~48 ms of the whole-step time over 24 layers.
+
+    Fallback (CPU, exotic shapes): the jnp math, batch-chunked with lax.map so
+    the probs working set stays ~hundreds of MB — at large T the three live
+    fp32 temps are otherwise ~3.2 GB landing on top of the remat-recompute
+    working set (the round-3 OOM)."""
     q, k, v = res
     b, h, t, _ = q.shape
+    if _bwd_pallas_supported(q):
+        return _bwd_pallas(q, k, v, g, is_causal, scale)
     per_sample = h * t * t * 4  # one fp32 [H,T,T] probs slab per batch row
     chunk = max(1, (64 * 1024 * 1024) // per_sample)
     if t > 256 and chunk < b:
@@ -130,6 +139,90 @@ def _bwd_math(q, k, v, g, is_causal, scale):
 
 
 _fa.defvjp(_fa_fwd, _fa_bwd)
+
+
+def _bwd_pallas_supported(q, *, interpret: bool = False) -> bool:
+    """Kernel path gate: TPU backend (or interpret-mode testing), supported
+    dtype, and a per-program working set that fits VMEM at G=1 (three fp32
+    [T, T] panels + four [T, D] operands, lane-padded)."""
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    if q.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    b, h, t, d = q.shape
+    tp = -(-t // 8) * 8          # sublane-padded rows
+    tl = -(-t // 128) * 128      # lane-padded cols
+    dl = -(-d // 128) * 128
+    panels = 3 * tp * tl * 4                       # logits/p/dp (ds reuses)
+    operands = 7 * tp * dl * 4                     # q,k,v,g + dq,dk,dv fp32-ish
+    return panels + operands <= 10 * 1024 * 1024
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                *, scale: float, causal: bool):
+    """Recompute fp32 probs from q,k in VMEM, then the analytic grads — the
+    [T, T] panels live only in VMEM (same math as _bwd_math, verified
+    element-exact in interpret mode)."""
+    gsz, t, d = q_ref.shape
+    q = q_ref[:].astype(jnp.float32)
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    dout = g_ref[:].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale           # [G, Tq, Tk]
+    if causal:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        logits = jnp.where((q_pos >= k_pos)[None], logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    dv_ref[:] = jax.lax.dot_general(
+        p, dout, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)  # [G, Tk, D]
+    dp = jax.lax.dot_general(
+        dout, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                       # [G, Tq, Tk]
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    dq_ref[:] = jax.lax.dot_general(
+        ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[:] = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _bwd_pallas(q, k, v, g, is_causal, scale, *, interpret: bool = False):
+    b, h, t, d = q.shape
+    bh = b * h
+    tp = -(-t // 8) * 8
+    tl = -(-t // 128) * 128
+    dl = -(-d // 128) * 128
+    gsz = 1
+    for cand in (16, 8, 4, 2):
+        if bh % cand == 0 and \
+           cand * (3 * tp * tl + 7 * tp * dl) * 4 <= 10 * 1024 * 1024:
+            gsz = cand
+            break
+    shape = (bh, t, d)
+    qf, kf, vf, gf = (x.reshape(shape) for x in (q, k, v, g))
+    spec = pl.BlockSpec((gsz, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=float(scale), causal=is_causal),
+        out_shape=tuple(jax.ShapeDtypeStruct(shape, x.dtype) for x in (q, k, v)),
+        grid=(bh // gsz,),
+        in_specs=[spec] * 4,
+        out_specs=(spec,) * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * t * t * d,
+            bytes_accessed=7 * bh * t * d * q.dtype.itemsize,
+            transcendentals=bh * t * t,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf)
+    full = (b, h, t, d)
+    return dq.reshape(full), dk.reshape(full), dv.reshape(full)
 
 
 def _forward(q, k, v, is_causal: bool, scale: float):

@@ -137,16 +137,27 @@ def fused_attention_block(x, ln_params, attn_params, *, n_heads: int,
                   n_heads, bool(causal), float(eps))
 
 
+def _fwd_batch_tile(b: int, t: int, d: int, itemsize: int) -> int:
+    """Largest batch tile (<= FWD_BT) whose fwd working set fits the 12 MiB
+    budget: resident weights + x/qkv fp32-ish temps per tile. ViT-B towers run
+    at bt=8; wider towers (e.g. ViT-L's d=768 text stack) step down rather
+    than losing the fused path entirely."""
+    weights = (3 * d * d + d * d) * itemsize
+    for bt in (FWD_BT, 4, 2, 1):
+        if b % bt:
+            continue
+        if weights + bt * t * (6 * d) * 4 <= 12 * 1024 * 1024:
+            return bt
+    return 0
+
+
 def supported(x, n_heads: int) -> bool:
     b, t, d = x.shape
     if x.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     if d % n_heads:
         return False
-    itemsize = x.dtype.itemsize
-    weights = (3 * d * d + d * d) * itemsize
-    tile = 8 * t * (6 * d) * 4  # x + qkv fp32-ish working set, bt=8
-    return weights + tile <= 12 * 1024 * 1024 and t <= 256
+    return t <= 256 and _fwd_batch_tile(b, t, d, x.dtype.itemsize) > 0
 
 
 def _bwd_kernel(x_ref, g_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wout_ref,
@@ -294,9 +305,7 @@ FWD_BT = 8  # forward batch tile (A/B-swept on chip; see module docstring)
 
 def _forward(x, ln_s, ln_b, wqkv, bqkv, wout, bout, n_heads, causal, eps):
     b, t, d = x.shape
-    bt = FWD_BT
-    while b % bt and bt > 1:
-        bt //= 2
+    bt = _fwd_batch_tile(b, t, d, x.dtype.itemsize) or 1
     grid = (b // bt,)
     tile = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),

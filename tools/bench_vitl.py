@@ -118,8 +118,14 @@ def main():
     # compile against the 16 GB HBM alongside the 6.8 GB fp32 AdamW state —
     # save_qkv (2.4 GB kept) is the largest policy that fits. Best fitting
     # policy becomes the headline row.
+    # order matters: the KNOWN-FITTING policies run first — a failed remote
+    # compile degrades the tunnel's subsequent compiles for ~10-15 min
+    # (verify SKILL.md), so the experimental over-budget policies
+    # (save_qkv_mlp / save_mlp_hidden, recorded OOMs at b=64) go LAST where
+    # their failures cannot contaminate the headline timings
     best = None
-    for remat in ("save_qkv_mlp", "save_mlp_hidden", "save_qkv", True):
+    for remat in ("save_qkv", True, "save_attn_preact", "save_qkv_mlp",
+                  "save_mlp_hidden"):
         tag = remat if isinstance(remat, str) else "full"
         try:
             params = init_clip(jax.random.key(0), cfg)
