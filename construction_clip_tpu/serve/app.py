@@ -107,23 +107,28 @@ class PredictService:
         return slot[0]
 
     def _drain_loop(self):
-        """Dedicated batcher: sleep the coalescence window whenever the
-        backlog is not yet a full batch, drain immediately when it is. An
-        earlier "adaptive" variant skipped the window when requests were
-        already pending at re-check — under closed-loop load that races the
-        post-batch resubmission wave (the first 1-2 resubmitters get drained
-        as a tiny batch and the other ~22 pay a whole extra service cycle;
-        measured 40 -> 24 req/s, p50 485 -> 985 ms at 24-way). The window
-        elapses with NO lock held (requests keep queueing and the
-        non-batched path stays free)."""
+        """Dedicated batcher: wait up to the coalescence window for a FULL
+        batch to form, then drain whatever is pending. Draining early is
+        allowed ONLY on a full batch — an earlier "adaptive" variant drained
+        early whenever anything was pending at re-check, and under closed-loop
+        load that races the post-batch resubmission wave (the first 1-2
+        resubmitters get drained as a tiny batch and the other ~22 pay a whole
+        extra service cycle; measured 40 -> 24 req/s, p50 485 -> 985 ms at
+        24-way). The window elapses with the lock RELEASED (cv.wait_for), so
+        requests keep queueing and the non-batched path stays free."""
         while True:
             with self._cv:
                 while not self._pending:
                     self._cv.wait()
-                backlog_full = len(self._pending) >= self._max_batch
-            if not backlog_full:
-                time.sleep(self._window)  # let concurrent requests pile up
-            with self._cv:
+                # let concurrent requests pile up, but stop waiting the moment
+                # a FULL batch forms (early drain can only make the batch
+                # bigger-or-equal vs sleeping the whole window, never the tiny
+                # early batch the adaptive variant produced). wait_for releases
+                # the lock while waiting, so requests keep queueing.
+                if len(self._pending) < self._max_batch:
+                    self._cv.wait_for(
+                        lambda: len(self._pending) >= self._max_batch,
+                        timeout=self._window)
                 batch = self._pending[: self._max_batch]
                 self._pending = self._pending[self._max_batch:]
             if not batch:

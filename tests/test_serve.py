@@ -161,3 +161,38 @@ def test_request_batching(rng):
     for r in results:
         assert r["caption_type"] in ("violation", "status")
     os.unlink(f.name)
+
+
+def test_drain_loop_full_backlog_skips_window():
+    """Batcher semantics pinned (the round-3 throughput regression): a FULL
+    backlog drains immediately (no window sleep), an under-full backlog waits
+    the whole coalescence window; every waiter gets its own slot result."""
+    import concurrent.futures as cf
+    import time as _time
+
+    from construction_clip_tpu.serve.app import PredictService
+
+    svc = PredictService(caption_pipeline=None, use_beam=False,
+                         batch_window_ms=500, max_batch=4)
+    sizes = []
+
+    def fake_batch(staged_list):
+        sizes.append(len(staged_list))
+        return [{"i": s} for s in staged_list]
+
+    svc._caption_batch = fake_batch
+
+    # full backlog: 4 concurrent requests finish far inside the 500 ms window
+    t0 = _time.perf_counter()
+    with cf.ThreadPoolExecutor(4) as pool:
+        out = list(pool.map(svc._predict_batched, range(4)))
+    dt_full = _time.perf_counter() - t0
+    assert sorted(o["i"] for o in out) == [0, 1, 2, 3]
+    assert dt_full < 0.4, f"full backlog waited the window: {dt_full:.3f}s"
+
+    # under-full backlog: a single request pays ~the whole window
+    t0 = _time.perf_counter()
+    svc._predict_batched(9)
+    dt_single = _time.perf_counter() - t0
+    assert dt_single >= 0.45, f"window not honored: {dt_single:.3f}s"
+    assert max(sizes) == 4  # the 4-way drain really was one batch
