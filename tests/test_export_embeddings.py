@@ -110,8 +110,11 @@ def test_export_cli_writes_word_lines(tmp_path):
     vocab.write_text("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
                                + chars) + "\n", encoding="utf-8")
     out = tmp_path / "emb.txt"
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    # PYTHONPATH=REPO only (like every other CLI test): appending the inherited
+    # path would keep /root/.axon_site's sitecustomize in the subprocess, and
+    # that TPU plugin probes its tunnel at import — with the tunnel unhealthy
+    # the CLI blocks in the plugin's reconnect loop until this test times out
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "apps", "export_embeddings.py"),
          "--json_path", str(jp), "--out", str(out), "--top_k", "5",
