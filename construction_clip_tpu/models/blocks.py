@@ -162,6 +162,9 @@ def apply_stack(
                         (e.g. ViT-L/14's T=257 image tower) where remat
                         matters most
       "save_mlp_hidden" keep each layer's 4d MLP hidden
+      "save_preact"     keep only each layer's 4d MLP pre-activation — the
+                        middle-memory option (~135 MB/layer at ViT-L b=64)
+                        when save_attn_preact does not fit
       "save_attn_preact" keep each layer's attention-residual output + 4d MLP
                         PRE-activation (~169 MB/layer at ViT-L b=64): backward
                         recompute drops to the qkv projection + attention fwd
@@ -205,6 +208,7 @@ def apply_stack(
                 "save_qkv_mlp": cp.save_only_these_names("qkv", "mlp_hidden"),
                 "save_attn_preact": cp.save_only_these_names("attn_out",
                                                              "mlp_preact"),
+                "save_preact": cp.save_only_these_names("mlp_preact"),
                 "save_big": cp.save_only_these_names("qkv", "mlp_hidden",
                                                      "attn_out"),
             }[remat]
