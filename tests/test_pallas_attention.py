@@ -162,3 +162,19 @@ def test_pallas_backward_matches_jnp(shape, causal, rng):
     for a, b in zip(got, vjp(g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_backward_bf16(rng):
+    """bf16 operands (the ViT-L training dtype): kernel == jnp math in fp32
+    accumulation, outputs cast back to bf16."""
+    shape = (1, 4, 257, 64)
+    mk = lambda: jnp.asarray(rng.standard_normal(shape), dtype=jnp.bfloat16)
+    q, k, v, g = mk(), mk(), mk(), mk()
+    scale = shape[-1] ** -0.5
+    got = pallas_attention._bwd_pallas(q, k, v, g, False, scale, interpret=True)
+    want = pallas_attention._bwd_math(q, k, v, g, False, scale)
+    for a, b in zip(got, want):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=3e-2, atol=3e-2)
