@@ -89,3 +89,21 @@ def test_supported_gates():
     assert not fab.supported(jnp.zeros((4, 12, 33)), 2)      # heads don't divide
     assert not fab.supported(jnp.zeros((4, 512, 32)), 2)     # T too long
     assert not fab.supported(jnp.zeros((4, 12, 32), jnp.int8), 2)
+
+
+def test_wide_tower_budget_tile(rng):
+    """d=768 (ViT-L text width): the fwd batch tile steps down to 4 under the
+    VMEM budget instead of rejecting the shape, and the kernel still matches
+    the composable math."""
+    D, H = 768, 12
+    params = init_block(jax.random.key(2), D)
+    x = jnp.asarray(rng.standard_normal((4, 12, D)).astype(np.float32))
+    assert fab._fwd_batch_tile(4, 12, D, x.dtype.itemsize) == 4
+    assert fab.supported(x, H)
+    out = fab.fused_attention_block(x, params["ln_1"], params["attn"], n_heads=H)
+    ref = fab._ref_math(x, params["ln_1"]["scale"], params["ln_1"]["bias"],
+                        params["attn"]["w_qkv"], params["attn"]["b_qkv"],
+                        params["attn"]["w_out"], params["attn"]["b_out"],
+                        H, False, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
