@@ -171,6 +171,15 @@ def apply_stack(
                         (for the weight-grad operands) + elementwise act —
                         the fc GEMM recompute disappears because act' needs
                         only the saved preact
+      "save_qkv_attn_out" keep qkv + the post-proj attention output
+                        (~135 MB/layer at ViT-L b=64 — same memory as
+                        save_preact): backward recompute drops to LN2 + the
+                        fc GEMM + act. Saving attn_out (not probs) matters
+                        because the flash-attention VJP only needs q,k,v —
+                        its in-kernel probs recompute is inherent — while the
+                        layer re-forward would otherwise run the whole padded
+                        T=257 attention core AGAIN just to rebuild the
+                        residual stream for the MLP backward
       "save_qkv_mlp"    keep qkv + mlp_hidden — skips the two widest recompute
                         GEMMs (~85% of the per-layer recompute FLOPs) for
                         ~236 MB/layer at ViT-L b=64
@@ -205,6 +214,7 @@ def apply_stack(
                 "dots": cp.checkpoint_dots,
                 "save_qkv": cp.save_only_these_names("qkv"),
                 "save_mlp_hidden": cp.save_only_these_names("mlp_hidden"),
+                "save_qkv_attn_out": cp.save_only_these_names("qkv", "attn_out"),
                 "save_qkv_mlp": cp.save_only_these_names("qkv", "mlp_hidden"),
                 "save_attn_preact": cp.save_only_these_names("attn_out",
                                                              "mlp_preact"),

@@ -15,7 +15,7 @@ from construction_clip_tpu.models.blocks import apply_stack, init_stack
 from construction_clip_tpu.ops.activations import quick_gelu
 
 POLICIES = [True, "dots", "save_qkv", "save_mlp_hidden", "save_qkv_mlp",
-            "save_preact", "save_attn_preact", "save_big"]
+            "save_qkv_attn_out", "save_preact", "save_attn_preact", "save_big"]
 
 
 @pytest.fixture(scope="module")

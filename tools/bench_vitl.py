@@ -124,8 +124,8 @@ def main():
     # (save_qkv_mlp / save_mlp_hidden, recorded OOMs at b=64) go LAST where
     # their failures cannot contaminate the headline timings
     best = None
-    for remat in ("save_qkv", True, "save_preact", "save_attn_preact",
-                  "save_qkv_mlp", "save_mlp_hidden"):
+    for remat in ("save_qkv", True, "save_qkv_attn_out", "save_preact",
+                  "save_attn_preact", "save_qkv_mlp", "save_mlp_hidden"):
         tag = remat if isinstance(remat, str) else "full"
         try:
             params = init_clip(jax.random.key(0), cfg)
