@@ -49,6 +49,15 @@ class CaptionPipeline:
         vt = self.clip_tokenizer.tokenize(list(VIOLATION_TYPES), ctx)
         self._embed_classify = make_embed_classify_fn(
             self.clip_params, self.clip_cfg, ct, vt, policy=self.policy)
+        # the zero-shot attribute can only take len(ct) x len(vt) = 18 values,
+        # so its token rows are precomputed once and the per-batch attribute
+        # lookup becomes a DEVICE gather — no mid-pipeline host sync (fetch
+        # ct/vt -> format string -> tokenize -> H2D), which costs ~3 tunnel
+        # round-trips per batch on the serving hot path (serve/app.py)
+        rows = [self.attribute_tokens(
+                    [attribute_string(c, v)])[0]
+                for c in CAPTION_TYPE_PROMPTS for v in VIOLATION_TYPES]
+        self._attr_table = jnp.asarray(np.stack(rows))
 
     # ---- pieces -----------------------------------------------------------
 
@@ -86,23 +95,40 @@ class CaptionPipeline:
     def caption_images(self, images, *, attributes: Optional[Sequence[str]] = None,
                        use_beam: bool = True):
         """images: preprocessed [B,H,W,3]. Returns list of dicts
-        {caption, caption_type, violation_type, attribute}."""
-        emb, auto_attrs = self.classify_and_embed(images)
-        attrs = list(attributes) if attributes is not None else auto_attrs
-        embeds = self.prompt_embeds(emb, self.attribute_tokens(attrs))
+        {caption, caption_type, violation_type, attribute}.
+
+        The whole classify -> attribute -> prefix -> decode chain stays on
+        device; the single host transfer is one packed [B, T+3] int32 fetch of
+        (tokens, length, caption_type, violation_type) at the end.
+        """
+        emb, ct, vt = self._embed_classify(images)
+        if attributes is None:
+            attr_tok = self._attr_table[ct * len(VIOLATION_TYPES) + vt]
+        else:
+            attr_tok = jnp.asarray(self.attribute_tokens(list(attributes)))
+        embeds = self.prompt_embeds(emb, attr_tok)
         if use_beam:
             res = beam_decode(self.cap_params["gpt"], self.gcfg, embeds,
                               beam_size=self.beam_size, max_steps=self.max_steps,
                               stop_token=self.stop_token,
                               temperature=self.temperature, policy=self.policy)
-            toks = np.asarray(res.tokens[:, 0])      # best beam
-            lens = np.asarray(res.lengths[:, 0])
+            toks_d, lens_d = res.tokens[:, 0], res.lengths[:, 0]  # best beam
         else:
             res = greedy_decode(self.cap_params["gpt"], self.gcfg, embeds,
                                 max_steps=self.max_steps, stop_token=self.stop_token,
                                 policy=self.policy)
-            toks = np.asarray(res.tokens)
-            lens = np.asarray(res.lengths)
+            toks_d, lens_d = res.tokens, res.lengths
+        packed = np.asarray(jnp.concatenate(
+            [toks_d.astype(jnp.int32), lens_d[:, None].astype(jnp.int32),
+             ct[:, None].astype(jnp.int32), vt[:, None].astype(jnp.int32)],
+            axis=1))
+        toks, lens = packed[:, :-3], packed[:, -3]
+        if attributes is not None:
+            attrs = list(attributes)
+        else:
+            attrs = [attribute_string(CAPTION_TYPE_PROMPTS[int(c)],
+                                      VIOLATION_TYPES[int(v)])
+                     for c, v in zip(packed[:, -2], packed[:, -1])]
         captions = self.decode_to_text(toks, lens)
         out = []
         for cap, attr in zip(captions, attrs):

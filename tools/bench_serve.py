@@ -72,9 +72,30 @@ def main():
     img = (rng.random((480, 640, 3)) * 255).astype(np.uint8)
     imgs = [(rng.random((480, 640, 3)) * 255).astype(np.uint8) for _ in range(8)]
 
+    def warm_shapes(svc):
+        """Compile every power-of-two batch shape by calling the pipeline
+        DIRECTLY: a cold compile of the B=1 decode loop through the tunnel can
+        exceed the batcher's 300 s fail-fast bound (measured this round after
+        the decode rewrite invalidated the compile cache), and the batcher
+        would then surface a spurious 'did not respond' instead of waiting."""
+        from construction_clip_tpu.data.pipeline import host_shape_unify
+        from construction_clip_tpu.data.preprocess import preprocess_batch
+
+        size = svc.pipe.clip_cfg.vision.image_size
+        staged = host_shape_unify(img, 256)
+        n = 1
+        while n <= svc._max_batch:
+            t0 = time.perf_counter()
+            svc.pipe.caption_images(
+                preprocess_batch(np.stack([staged] * n), size),
+                use_beam=svc.use_beam)
+            log(f"warm B={n}: {time.perf_counter() - t0:.1f}s")
+            n *= 2
+
     def drive(svc):
         """(single-request ms, req/s @ 24-way, p50 ms, p99 ms) for one service."""
-        svc.predict(img)  # warm the power-of-two batch shapes
+        warm_shapes(svc)
+        svc.predict(img)  # warm the batcher path itself
         for n in (2, 4, 8, 16, 24):
             with cf.ThreadPoolExecutor(n) as pool:
                 list(pool.map(svc.predict, [img] * n))
