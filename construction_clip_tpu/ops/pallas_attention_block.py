@@ -31,13 +31,40 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def per_head_attention(qkv, d: int, n_heads: int, causal: bool, out_dtype):
+def _segment_mask(t: int, segments: int, causal: bool):
+    """[t, t] bool: True where query i may attend key j. With segments > 1 the
+    t positions hold `segments` independent samples packed end-to-end
+    (block-diagonal validity); causal applies within each segment (local
+    positions i%seg_len >= j%seg_len is equivalent to i >= j on-diagonal)."""
+    qp = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    kp = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    ok = None
+    if segments > 1:
+        seg_len = t // segments
+        ok = (qp // seg_len) == (kp // seg_len)
+    if causal:
+        c = qp >= kp
+        ok = c if ok is None else jnp.logical_and(ok, c)
+    return ok
+
+
+def per_head_attention(qkv, d: int, n_heads: int, causal: bool, out_dtype,
+                       segments: int = 1):
     """qkv [Bt, T, 3D] -> merged [Bt, T, D] via static last-dim per-head slices,
     fp32 softmax. Shared by the bf16 kernel below and the int8 kernel in
-    pallas_attention_block_int8.py."""
+    pallas_attention_block_int8.py.
+
+    segments > 1: each batch row packs that many independent samples along T
+    (block-diagonal attention). Packing exists because Mosaic lowers batched
+    dot_general as a SEQUENTIAL loop over (batch x head) — at ViT-B shapes that
+    is 3,072 tiny [50, 64] matmuls per layer, the measured train-step shape
+    floor (BASELINE.md) — and two T=50 samples fit one 128-lane panel, halving
+    the op count. Masked cross-sample probs are exactly 0.0, so valid outputs
+    are bit-identical to the unpacked computation."""
     bt, t, _ = qkv.shape
     dh = d // n_heads
     scale = dh ** -0.5
+    mask = _segment_mask(t, segments, causal)
     outs = []
     for head in range(n_heads):
         off = head * dh
@@ -47,10 +74,8 @@ def per_head_attention(qkv, d: int, n_heads: int, causal: bool, out_dtype):
         logits = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale   # [Bt, T, T]
-        if causal:
-            qp = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
-            kp = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-            logits = jnp.where((qp >= kp)[None], logits, NEG_INF)
+        if mask is not None:
+            logits = jnp.where(mask[None], logits, NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -61,8 +86,9 @@ def per_head_attention(qkv, d: int, n_heads: int, causal: bool, out_dtype):
 
 
 def _kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-            out_ref, *, n_heads: int, causal: bool, eps: float):
-    # x_ref: [Bt, T, D] batch tile
+            out_ref, *, n_heads: int, causal: bool, eps: float,
+            segments: int = 1):
+    # x_ref: [Bt, T, D] batch tile (T may pack `segments` samples end-to-end)
     bt, t, d = x_ref.shape
     x = x_ref[:]
     x32 = x.astype(jnp.float32)
@@ -75,7 +101,8 @@ def _kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     qkv = jax.lax.dot_general(
         h, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(x.dtype) + bqkv_ref[:]  # [Bt,T,3D]
-    merged = per_head_attention(qkv, d, n_heads, causal, x.dtype)
+    merged = per_head_attention(qkv, d, n_heads, causal, x.dtype,
+                                segments=segments)
     y = jax.lax.dot_general(
         merged, wout_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -162,7 +189,7 @@ def supported(x, n_heads: int) -> bool:
 
 def _bwd_kernel(x_ref, g_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wout_ref,
                 dx_ref, dqkv_ref, merged_ref, dlns_ref, dlnb_ref,
-                *, n_heads: int, causal: bool, eps: float):
+                *, n_heads: int, causal: bool, eps: float, segments: int = 1):
     """Per batch tile: recompute LN/QKV/probs, backprop through attention chain
     and LN; stage h/dqkv/merged for the outside weight-grad GEMMs."""
     bt, t, d = x_ref.shape
@@ -189,11 +216,7 @@ def _bwd_kernel(x_ref, g_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wout_ref,
         g, wout_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                     # [bt, T, D] fp32
 
-    if causal:
-        qp = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
-        kp = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-        causal_ok = (qp >= kp)[None]
-
+    mask = _segment_mask(t, segments, causal)
     outs, dqs, dks, dvs = [], [], [], []
     for head in range(n_heads):
         off = head * dh_
@@ -203,8 +226,8 @@ def _bwd_kernel(x_ref, g_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wout_ref,
         logits = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale          # [bt, Tq, Tk]
-        if causal:
-            logits = jnp.where(causal_ok, logits, NEG_INF)
+        if mask is not None:
+            logits = jnp.where(mask[None], logits, NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)               # fp32 probs
@@ -276,7 +299,13 @@ def _bwd_batch_tile(b: int, t: int, d: int, itemsize: int) -> int:
 
 
 def _backward(x, g, ln_s, ln_b, wqkv, bqkv, wout, n_heads, causal, eps):
-    b, t, d = x.shape
+    b0, t0, d = x.shape
+    pack = _pack_factor(b0, t0)
+    if pack > 1:
+        b, t = b0 // pack, pack * t0
+        x, g = x.reshape(b, t, d), g.reshape(b, t, d)
+    else:
+        b, t = b0, t0
     bt = _bwd_batch_tile(b, t, d, x.dtype.itemsize)
     grid = (b // bt,)
     tile = lambda width: pl.BlockSpec((bt, t, width), lambda i: (i, 0, 0),
@@ -284,8 +313,9 @@ def _backward(x, g, ln_s, ln_b, wqkv, bqkv, wout, n_heads, causal, eps):
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     acc = pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_bwd_kernel, n_heads=n_heads, causal=causal, eps=eps),
+    dx, dqkv, merged, dlns, dlnb = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_heads=n_heads, causal=causal, eps=eps,
+                          segments=pack),
         out_shape=(
             jax.ShapeDtypeStruct((b, t, d), x.dtype),       # dx
             jax.ShapeDtypeStruct((b, t, 3 * d), x.dtype),   # dqkv (staged)
@@ -298,23 +328,49 @@ def _backward(x, g, ln_s, ln_b, wqkv, bqkv, wout, n_heads, causal, eps):
                   const((3 * d,)), const((d, d))],
         out_specs=(tile(d), tile(3 * d), tile(d), acc, acc),
     )(x, g, ln_s, ln_b, wqkv, bqkv, wout)
+    if pack > 1:
+        dx = dx.reshape(b0, t0, d)
+        dqkv = dqkv.reshape(b0, t0, 3 * d)
+        merged = merged.reshape(b0, t0, d)
+    return dx, dqkv, merged, dlns, dlnb
 
 
 FWD_BT = 8  # forward batch tile (A/B-swept on chip; see module docstring)
 
 
+def _pack_factor(b: int, t: int) -> int:
+    """How many samples to pack end-to-end along T (block-diagonal attention).
+    Only all-batch-uniform packings that keep the packed panel within one
+    128-lane tile make the per-head matmul cheaper; everything else is 1.
+    LN/QKV/out-proj are per-token so only the attention mask is aware of it."""
+    for s in (4, 3, 2):
+        if s * t <= 128 and b % s == 0:
+            return s
+    return 1
+
+
 def _forward(x, ln_s, ln_b, wqkv, bqkv, wout, bout, n_heads, causal, eps):
     b, t, d = x.shape
+    pack = _pack_factor(b, t)
+    if pack > 1 and _fwd_batch_tile(b // pack, pack * t, d, x.dtype.itemsize):
+        # free reshape: sample s of packed row i is row i*pack+s — row-major
+        # layout is unchanged, only the attention mask sees segment boundaries
+        b, t = b // pack, pack * t
+        x = x.reshape(b, t, d)
+    else:
+        pack = 1
     bt = _fwd_batch_tile(b, t, d, x.dtype.itemsize) or 1
     grid = (b // bt,)
     tile = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_kernel, n_heads=n_heads, causal=causal, eps=eps),
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_heads=n_heads, causal=causal, eps=eps,
+                          segments=pack),
         out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
         grid=grid,
         in_specs=[tile, const((d,)), const((d,)), const((d, 3 * d)),
                   const((3 * d,)), const((d, d)), const((d,))],
         out_specs=tile,
     )(x, ln_s, ln_b, wqkv, bqkv, wout, bout)
+    return out.reshape(b * pack, t // pack, d) if pack > 1 else out

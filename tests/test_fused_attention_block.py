@@ -107,3 +107,48 @@ def test_wide_tower_budget_tile(rng):
                         H, False, 1e-5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_pack_factor():
+    """T<=64 shapes pack multiple samples per 128-lane attention panel."""
+    assert fab._pack_factor(8, 50) == 2      # ViT-B/32 vision: 2x50=100 <= 128
+    assert fab._pack_factor(8, 12) == 4
+    assert fab._pack_factor(9, 40) == 3
+    assert fab._pack_factor(5, 50) == 1      # batch not divisible
+    assert fab._pack_factor(8, 77) == 1      # text tower: 154 > 128
+    assert fab._pack_factor(8, 257) == 1     # ViT-L vision
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_packed_matches_composable_vit_shape(causal, rng):
+    """The ViT-B/32 hot shape (T=50, pack=2): values AND gradients match the
+    composable math — packed cross-sample probs are exactly zero, so packing
+    is a pure MXU-op-count optimization (BASELINE.md train-step shape floor)."""
+    D, H = 64, 4
+    params = init_block(jax.random.key(3), D)
+    x = jnp.asarray(rng.standard_normal((4, 50, D)).astype(np.float32))
+    assert fab._pack_factor(*x.shape[:2]) == 2
+
+    def loss_fused(x, p):
+        return jnp.sum(fab.fused_attention_block(x, p["ln_1"], p["attn"],
+                                                 n_heads=H, causal=causal) ** 2)
+
+    def loss_ref(x, p):
+        return jnp.sum(fab._ref_math(
+            x, p["ln_1"]["scale"], p["ln_1"]["bias"], p["attn"]["w_qkv"],
+            p["attn"]["b_qkv"], p["attn"]["w_out"], p["attn"]["b_out"],
+            H, causal, 1e-5) ** 2)
+
+    out = fab.fused_attention_block(x, params["ln_1"], params["attn"],
+                                    n_heads=H, causal=causal)
+    ref = fab._ref_math(x, params["ln_1"]["scale"], params["ln_1"]["bias"],
+                        params["attn"]["w_qkv"], params["attn"]["b_qkv"],
+                        params["attn"]["w_out"], params["attn"]["b_out"],
+                        H, causal, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+    gf = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=2e-4)
