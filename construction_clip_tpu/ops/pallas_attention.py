@@ -42,11 +42,55 @@ def supported(q, k, v, *, bias=None) -> bool:
     return True
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool):
+def _split_point(t: int, causal: bool) -> int:
+    """Lane-aligned key split for awkward sequence lengths (0 = no split).
+
+    ViT towers append CLS to a power-of-two patch grid, so T = s + r with s a
+    multiple of 128 and r tiny (ViT-L/14: 257 = 256 + 1). A monolithic [T, T]
+    logits panel lane-pads T -> ceil(T/128)*128 (257 -> 384: +49% MXU work on
+    EVERY qk/pv/grad matmul — the measured 9.4 TF/s attention-core floor,
+    BASELINE.md). Splitting keys at s keeps the big matmuls lane-aligned on
+    the MXU and handles the r remainder keys as broadcast-multiply-reduce VPU
+    terms, whose cost is O(r·T·D) elementwise — negligible for r ≤ 4."""
+    if causal or t <= 128 or t % 128 == 0:
+        return 0
+    s = (t // 128) * 128
+    return s if t - s <= 4 else 0
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
+                 split: int = 0):
     # refs: [G, T, D] — G heads per program
     g, t, d = q_ref.shape
     q = q_ref[:].astype(jnp.float32)
     k = k_ref[:].astype(jnp.float32)
+    if split:
+        # main keys on the MXU at lane-aligned width `split`; each of the
+        # (t - split) remainder keys is a VPU multiply-reduce (rank-1 terms)
+        logits = jax.lax.dot_general(
+            q, k[:, :split, :], dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale      # [G, T, split]
+        rem = [jnp.sum(q * k[:, j:j + 1, :], axis=-1) * scale
+               for j in range(split, t)]                     # r x [G, T]
+        m = jnp.max(logits, axis=-1)
+        for rl in rem:
+            m = jnp.maximum(m, rl)
+        p = jnp.exp(logits - m[..., None])
+        pr = [jnp.exp(rl - m) for rl in rem]
+        denom = jnp.sum(p, axis=-1)
+        for pj in pr:
+            denom = denom + pj
+        # normalization folds into the [G, T, D] output (one divide per output
+        # element) instead of a full extra VPU pass over the [G, T, split] panel
+        out = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[:, :split, :],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # [G, T, D]
+        v = v_ref[:].astype(jnp.float32)
+        for j, pj in zip(range(split, t), pr):
+            out = out + pj[..., None] * v[:, j:j + 1, :]
+        o_ref[:] = (out / denom[..., None]).astype(o_ref.dtype)
+        return
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale          # [G, T, T]
@@ -56,12 +100,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool):
         logits = jnp.where((q_pos >= k_pos)[None], logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[:],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                  # [G, T, D]
-    o_ref[:] = out.astype(o_ref.dtype)
+    # normalize on the [G, T, D] output, not the [G, T, T] panel (saves a full
+    # VPU pass over the panel; identical math up to fp32 association)
+    o_ref[:] = (out / jnp.sum(p, axis=-1, keepdims=True)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("is_causal", "scale"))
@@ -159,7 +204,7 @@ def _bwd_pallas_supported(q, *, interpret: bool = False) -> bool:
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
-                *, scale: float, causal: bool):
+                *, scale: float, causal: bool, split: int = 0):
     """Recompute fp32 probs from q,k in VMEM, then the analytic grads — the
     [T, T] panels live only in VMEM (same math as _bwd_math, verified
     element-exact in interpret mode)."""
@@ -168,6 +213,53 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
     k = k_ref[:].astype(jnp.float32)
     v = v_ref[:].astype(jnp.float32)
     dout = g_ref[:].astype(jnp.float32)
+    if split:
+        # lane-aligned key split (see _split_point): all four grad matmuls run
+        # at width `split`; remainder keys contribute VPU rank-1 terms
+        km, vm = k[:, :split, :], v[:, :split, :]
+        rng = range(split, t)
+        logits = jax.lax.dot_general(
+            q, km, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale       # [G, Tq, s]
+        rem = [jnp.sum(q * k[:, j:j + 1, :], axis=-1) * scale for j in rng]
+        m = jnp.max(logits, axis=-1)
+        for rl in rem:
+            m = jnp.maximum(m, rl)
+        p = jnp.exp(logits - m[..., None])
+        pr = [jnp.exp(rl - m) for rl in rem]
+        denom = jnp.sum(p, axis=-1)
+        for pj in pr:
+            denom = denom + pj
+        p = p / denom[..., None]
+        pr = [pj / denom for pj in pr]
+        dv_ref[:, :split, :] = jax.lax.dot_general(
+            p, dout, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        for j, pj in zip(rng, pr):
+            dv_ref[:, j:j + 1, :] = jnp.sum(
+                pj[..., None] * dout, axis=1, keepdims=True).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            dout, vm, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)               # [G, Tq, s]
+        dpr = [jnp.sum(dout * v[:, j:j + 1, :], axis=-1) for j in rng]
+        rowsum = jnp.sum(dp * p, axis=-1)
+        for dpj, pj in zip(dpr, pr):
+            rowsum = rowsum + dpj * pj
+        ds = p * (dp - rowsum[..., None]) * scale
+        dsr = [pj * (dpj - rowsum) * scale for pj, dpj in zip(pr, dpr)]
+        dq = jax.lax.dot_general(
+            ds, km, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        for j, dsj in zip(rng, dsr):
+            dq = dq + dsj[..., None] * k[:, j:j + 1, :]
+        dq_ref[:] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :split, :] = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        for j, dsj in zip(rng, dsr):
+            dk_ref[:, j:j + 1, :] = jnp.sum(
+                dsj[..., None] * q, axis=1, keepdims=True).astype(dk_ref.dtype)
+        return
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale           # [G, Tq, Tk]
@@ -209,7 +301,8 @@ def _bwd_pallas(q, k, v, g, is_causal, scale, *, interpret: bool = False):
     qf, kf, vf, gf = (x.reshape(shape) for x in (q, k, v, g))
     spec = pl.BlockSpec((gsz, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=float(scale), causal=is_causal),
+        functools.partial(_bwd_kernel, scale=float(scale), causal=is_causal,
+                          split=_split_point(t, is_causal)),
         out_shape=tuple(jax.ShapeDtypeStruct(shape, x.dtype) for x in (q, k, v)),
         grid=(bh // gsz,),
         in_specs=[spec] * 4,
@@ -244,7 +337,8 @@ def _forward(q, k, v, is_causal: bool, scale: float):
     grid = (bh // g,)
     spec = pl.BlockSpec((g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=float(scale), causal=is_causal),
+        functools.partial(_attn_kernel, scale=float(scale), causal=is_causal,
+                          split=_split_point(t, is_causal)),
         out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
         grid=grid,
         in_specs=[spec, spec, spec],

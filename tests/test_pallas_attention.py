@@ -178,3 +178,30 @@ def test_pallas_backward_bf16(rng):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=3e-2, atol=3e-2)
+
+
+def test_split_point_gates():
+    """Lane-aligned key split fires only for non-causal awkward T with a tiny
+    remainder (ViT CLS-token shapes); causal/aligned/large-remainder shapes
+    keep the monolithic panel."""
+    assert pallas_attention._split_point(257, False) == 256   # ViT-L/14
+    assert pallas_attention._split_point(131, False) == 128
+    assert pallas_attention._split_point(257, True) == 0      # causal: masked
+    assert pallas_attention._split_point(256, False) == 0     # already aligned
+    assert pallas_attention._split_point(140, False) == 0     # r=12 > 4
+    assert pallas_attention._split_point(50, False) == 0      # single panel
+
+
+@pytest.mark.parametrize("t", [131, 257])
+def test_forward_split_matches_xla(t, rng):
+    """The split forward (MXU main panel + VPU remainder keys) == XLA softmax
+    attention at the shapes where _split_point fires."""
+    shape = (2, 2, t, 64)
+    q = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    assert pallas_attention._split_point(t, False) == (t // 128) * 128
+    ref = mha(q, k, v, is_causal=False, impl="xla")
+    out = pallas_attention.flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
