@@ -78,10 +78,13 @@ def per_head_attention(qkv, d: int, n_heads: int, causal: bool, out_dtype,
             logits = jnp.where(mask[None], logits, NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot_general(
+        # normalize on the [Bt, T, dh] output, not the [T, T] panel — one
+        # fewer VPU pass over the panel (identical up to fp32 association).
+        # Masked positions hold exp(NEG_INF - m) = 0, so the sum is exact.
+        outs.append((jax.lax.dot_general(
             p.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(out_dtype))
+            preferred_element_type=jnp.float32)
+            / jnp.sum(p, axis=-1, keepdims=True)).astype(out_dtype))
     return jnp.concatenate(outs, axis=-1)            # [Bt, T, D]
 
 
@@ -97,15 +100,20 @@ def _kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     h = ((x32 - mean) * jax.lax.rsqrt(var + eps)
          * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32)
          ).astype(x.dtype)
-    # batched GEMM keeps everything 3-D (Mosaic rejects >4-D reshapes)
-    qkv = jax.lax.dot_general(
-        h, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(x.dtype) + bqkv_ref[:]  # [Bt,T,3D]
+    # weight GEMMs run FLAT [Bt*T, D] (a 3-D batched dot lowers to a
+    # SEQUENTIAL per-sample loop in Mosaic with only T sublane rows per pass —
+    # flattening is legal because the trailing dim stays lane-aligned)
+    qkv = (jax.lax.dot_general(
+        h.reshape(bt * t, d), wqkv_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+        .reshape(bt, t, 3 * d) + bqkv_ref[:])                            # [Bt,T,3D]
     merged = per_head_attention(qkv, d, n_heads, causal, x.dtype,
                                 segments=segments)
     y = jax.lax.dot_general(
-        merged, wout_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        merged.reshape(bt * t, d), wout_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(bt, t, d)
     out_ref[:] = (x32 + y + bout_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
 
 
@@ -206,15 +214,19 @@ def _bwd_kernel(x_ref, g_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wout_ref,
     xhat = (x32 - mean) * rstd
     ln_s = ln_s_ref[:].astype(jnp.float32)
     h = (xhat * ln_s + ln_b_ref[:].astype(jnp.float32)).astype(dtype)
-    qkv = jax.lax.dot_general(
-        h, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dtype) + bqkv_ref[:]
+    # weight GEMMs flat [bt*T, D] — see the forward kernel's note
+    qkv = (jax.lax.dot_general(
+        h.reshape(bt * t, d), wqkv_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)
+        .reshape(bt, t, 3 * d) + bqkv_ref[:])
     scale = dh_ ** -0.5
 
     # dmerged = g @ wout^T
     dmerged = jax.lax.dot_general(
-        g, wout_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                     # [bt, T, D] fp32
+        g.reshape(bt * t, d), wout_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(bt, t, d)  # [bt, T, D] fp32
 
     mask = _segment_mask(t, segments, causal)
     outs, dqs, dks, dvs = [], [], [], []
@@ -254,10 +266,11 @@ def _bwd_kernel(x_ref, g_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wout_ref,
     dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)             # [bt, T, 3D]
     dqkv_ref[:] = dqkv
 
-    # dh = dqkv @ wqkv^T, then LN backward
+    # dh = dqkv @ wqkv^T (flat), then LN backward
     dh = jax.lax.dot_general(
-        dqkv, wqkv_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                      # [bt, T, D] fp32
+        dqkv.reshape(bt * t, 3 * d), wqkv_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(bt, t, d)   # [bt, T, D] fp32
     dxhat = dh * ln_s
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
@@ -338,11 +351,23 @@ def _backward(x, g, ln_s, ln_b, wqkv, bqkv, wout, n_heads, causal, eps):
 FWD_BT = 8  # forward batch tile (A/B-swept on chip; see module docstring)
 
 
+PACK_SAMPLES = False  # measured on v5e at [128, 50, 768] bf16: packed fwd
+#                       1.399 ms vs unpacked 1.310, fwd+bwd 2.136 vs 2.062 —
+#                       halving the per-head matmul count does NOT pay: the
+#                       packed [100,100] panel pads to [104,128] (same MXU
+#                       tiles as two [56,128] panels) while the packed bwd
+#                       batch tile drops 4 -> 1 (VMEM), losing pipelining.
+#                       The segments machinery stays (tested) for shapes
+#                       where a future pack is a genuine win.
+
+
 def _pack_factor(b: int, t: int) -> int:
     """How many samples to pack end-to-end along T (block-diagonal attention).
     Only all-batch-uniform packings that keep the packed panel within one
-    128-lane tile make the per-head matmul cheaper; everything else is 1.
+    128-lane tile can make the per-head matmul cheaper; everything else is 1.
     LN/QKV/out-proj are per-token so only the attention mask is aware of it."""
+    if not PACK_SAMPLES:
+        return 1
     for s in (4, 3, 2):
         if s * t <= 128 and b % s == 0:
             return s
