@@ -177,13 +177,16 @@ state = TrainState.create(params, tx)
 
 
 @jax.jit
-def opt10(s):
+def opt10(s, g):
+    # grads ride as an ARGUMENT: closed-over they would inline ~600 MB of
+    # constants into the program upload (axon remote_compile chokes for
+    # minutes / HTTP 413 — verify SKILL.md)
     def body(s, _):
-        return apply_gradients(s, grads, tx), None
+        return apply_gradients(s, g, tx), None
 
     s, _ = jax.lax.scan(body, s, None, length=SCAN)
     return s
 
 
-timeit("adamw_only", opt10, state)
+timeit("adamw_only", lambda s: opt10(s, grads), state)
 print(json.dumps(results), flush=True)

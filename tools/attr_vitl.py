@@ -87,6 +87,26 @@ def main():
     for impl in ("pallas", "xla"):
         bench(f"attn_{impl}_fwd_ms", attn(impl), q, (kv,))
 
+    # ---- attention-core composition ablations (what binds the 14 TF/s core:
+    # MXU matmul shape, or the fp32 softmax between the two matmuls?) ----
+    def attn_matmuls_only(x, kvp):
+        # qk^T and (raw logits) @ v with NO softmax — pure MXU cost of the core
+        s = dh ** -0.5
+        logits = jnp.einsum("bhqd,bhkd->bhqk", x, kvp[0],
+                            preferred_element_type=jnp.float32) * s
+        return jnp.einsum("bhqk,bhkd->bhqd", logits.astype(x.dtype), kvp[1],
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+
+    def attn_softmax_only(x, kvp):
+        # softmax over a [B,H,T,T] panel built by broadcast (no matmuls):
+        # isolates the exp/max/sum VPU+HBM cost XLA pays between the GEMMs
+        panel = (x[..., :1] + kvp[0][..., :1].transpose(0, 1, 3, 2))
+        p = jax.nn.softmax(panel, axis=-1)
+        return (x + p[..., :1] * 0.0).astype(x.dtype)
+
+    bench("attn_matmuls_only_ms", attn_matmuls_only, q, (kv,))
+    bench("attn_softmax_only_ms", attn_softmax_only, q, (kv,))
+
     def attn_vjp(impl):
         def body(x, kvp):
             out, bwd = jax.vjp(

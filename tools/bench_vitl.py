@@ -124,8 +124,12 @@ def main():
     # (save_qkv_mlp / save_mlp_hidden, recorded OOMs at b=64) go LAST where
     # their failures cannot contaminate the headline timings
     best = None
-    for remat in ("save_qkv", True, "save_qkv_attn_out", "save_preact",
-                  "save_attn_preact", "save_qkv_mlp", "save_mlp_hidden"):
+    default_policies = ("save_qkv", True, "save_qkv_attn_out", "save_preact",
+                        "save_attn_preact", "save_qkv_mlp", "save_mlp_hidden")
+    only = os.environ.get("VITL_POLICIES")  # comma-separated subset for iteration
+    policies = tuple(p if p != "full" else True for p in only.split(",")) \
+        if only else default_policies
+    for remat in policies:
         tag = remat if isinstance(remat, str) else "full"
         try:
             params = init_clip(jax.random.key(0), cfg)
