@@ -40,9 +40,12 @@ def _kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     h32 = ((x32 - mean) * jax.lax.rsqrt(var + eps)
            * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32))
     hq, hs = _rowq(h32)
+    # weight GEMMs run FLAT [bt*T, D]: a 3-D batched dot lowers to a
+    # SEQUENTIAL per-sample loop in Mosaic (see the bf16 block kernel)
     acc = jax.lax.dot_general(
-        hq, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)                       # [bt, T, 3D]
+        hq.reshape(bt * t, d), wqkv_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).reshape(bt, t, 3 * d)
     qkv = (acc.astype(jnp.float32) * hs * sqkv_ref[:]
            + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)
     from construction_clip_tpu.ops.pallas_attention_block import per_head_attention
@@ -50,8 +53,9 @@ def _kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     merged32 = per_head_attention(qkv, d, n_heads, causal, jnp.float32)
     mq, ms = _rowq(merged32)
     acc = jax.lax.dot_general(
-        mq, wout_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+        mq.reshape(bt * t, d), wout_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).reshape(bt, t, d)
     y = acc.astype(jnp.float32) * ms * sout_ref[:]
     out_ref[:] = (x32 + y + bout_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
 
