@@ -23,6 +23,7 @@ BENCHES = [
     ("train", [sys.executable, os.path.join(REPO, "tools/bench_train.py")]),
     ("train_caption", [sys.executable, os.path.join(REPO, "tools/bench_train_caption.py")]),
     ("vitl", [sys.executable, os.path.join(REPO, "tools/bench_vitl.py")]),
+    ("detection", [sys.executable, os.path.join(REPO, "tools/bench_detection.py")]),
     ("serve", [sys.executable, os.path.join(REPO, "tools/bench_serve.py")]),
 ]
 

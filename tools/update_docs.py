@@ -75,6 +75,12 @@ def render_readme(snap) -> str:
          f"{c('train_caption', 'clipcap_frozen_step_ms_b64', 'ms')} frozen-LM; "
          f"mT5 {c('train_caption', 't5_full_step_ms_b64', 'ms')}",
          "single device, unpublished"),
+        ("Faster R-CNN (512 px, b=8)",
+         f"train {c('detection', 'det_step_ms_b8_fast', 'ms/step')} fast loss / "
+         f"{c('detection', 'det_step_ms_b8_tv_faithful', 'ms/step')} "
+         "torchvision-faithful; inference "
+         f"{c('detection', 'det_infer_img_s_b8', 'img/s')}",
+         "torchvision fasterrcnn_resnet50_fpn (train recipe outside the repo)"),
     ]
     lines = ["| metric | this framework (1x v5e chip) | reference |", "|---|---|---|"]
     lines += [f"| {a} | {b} | {r} |" for a, b, r in rows]
@@ -134,6 +140,11 @@ def render_baseline(snap) -> str:
          f"({c('vitl', 'vitl_img_s_b64', 'img/s')}); caption scoring "
          f"{c('vitl', 'score_pairs_per_s', 'pairs/s')} host-side",
          "measure", "`tools/bench_vitl.py`"),
+        ("Faster R-CNN train + inference (512 px, b=8)",
+         f"step {c('detection', 'det_step_ms_b8_fast', 'ms')} fast loss / "
+         f"{c('detection', 'det_step_ms_b8_tv_faithful', 'ms')} tv-faithful; "
+         f"inference {c('detection', 'det_infer_img_s_b8', 'img/s')}",
+         "measure", "`tools/bench_detection.py`"),
         ("Serving (classify→caption, in-process, greedy)",
          f"{c('serve', 'concurrent_req_s_24way', 'req/s')} @ 24-way (p50 "
          f"{c('serve', 'p50_ms', 'ms')}, p99 {c('serve', 'p99_ms', 'ms')}, "
