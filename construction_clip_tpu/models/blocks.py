@@ -187,11 +187,15 @@ def apply_stack(
                         ~270 MB/layer at ViT-L b=64)
       "dots"            XLA policy: save every dot_general result
 
-    unroll: scan unroll factor; None resolves to FULL unroll on TPU (measured on
-    v5e, ViT-B shapes b=128: fwd+bwd 45.1 -> 34.4 ms image / 33.1 -> 24.2 ms text
-    — XLA optimizes layouts across unrolled layers; PARTIAL unroll (2/4) is
-    pathologically WORSE than no unroll, so only 1 or L are sane values) and no
-    unroll elsewhere.
+    unroll: scan unroll factor; None resolves to FULL unroll on non-remat TPU
+    stacks (measured on v5e, ViT-B shapes b=128: fwd+bwd 45.1 -> 34.4 ms image /
+    33.1 -> 24.2 ms text — XLA optimizes layouts across unrolled layers; PARTIAL
+    unroll (2/4) is pathologically WORSE than no unroll, so only 1 or L are sane
+    values) and 1 elsewhere. Under remat the direction REVERSES: unroll=1 keeps
+    a per-layer backward schedule and measured 392.3 vs 399.5 ms/step on the
+    ViT-L/14 b=64 save_preact step in one A/B run (_drive_vitl_unroll.py) —
+    consistent with the remat-policy sweep finding that XLA's backward schedule,
+    not recompute FLOPs, controls rematted step time.
     """
 
     def body(carry, layer):
@@ -227,7 +231,7 @@ def apply_stack(
             body = jax.checkpoint(body)
     if unroll is None:
         n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
-        unroll = n_layers if jax.default_backend() == "tpu" else 1
+        unroll = n_layers if (jax.default_backend() == "tpu" and not remat) else 1
     xs = (stacked_params, probs_probe) if probs_probe is not None else stacked_params
     x, probs = jax.lax.scan(body, x, xs, unroll=unroll)
     if return_probs:
