@@ -77,16 +77,18 @@ def init_gpt2(key, cfg: GPT2Config, dtype=jnp.float32):
 
 
 
-def _train_unroll(stacked) -> int:
+def _train_unroll(stacked, remat: bool = False) -> int:
     """Full scan unroll on TPU for the uncached (training/prefill) paths —
     measured on v5e ViT-B shapes: XLA optimizes layouts across unrolled layers
     (fwd+bwd -24%; partial unroll is WORSE than none — see models/blocks.py).
+    Under remat the direction reverses: unroll=1 keeps a per-layer backward
+    schedule (measured on the ViT-L/14 remat step, models/blocks.py note).
     The cached decode scan is NOT unrolled: its per-step program is latency-
     bound elsewhere and unrolling only bloats the while_loop body."""
     import jax as _jax
 
     n = _jax.tree.leaves(stacked)[0].shape[0]
-    return n if _jax.default_backend() == "tpu" else 1
+    return n if (_jax.default_backend() == "tpu" and not remat) else 1
 
 
 def _linear(h, w, b):
@@ -325,7 +327,7 @@ def gpt2_forward(
     if remat:
         body = jax.checkpoint(body)
     x, ys = jax.lax.scan(body, x, p["blocks"],
-                         unroll=_train_unroll(p["blocks"]))
+                         unroll=_train_unroll(p["blocks"], remat))
 
     x = layer_norm(x, **p["ln_f"], eps=cfg.layer_norm_epsilon)
     logits = _lm_logits(p, x)
