@@ -118,14 +118,20 @@ class CaptionPipeline:
                                 max_steps=self.max_steps, stop_token=self.stop_token,
                                 policy=self.policy)
             toks_d, lens_d = res.tokens, res.lengths
-        packed = np.asarray(jnp.concatenate(
-            [toks_d.astype(jnp.int32), lens_d[:, None].astype(jnp.int32),
-             ct[:, None].astype(jnp.int32), vt[:, None].astype(jnp.int32)],
-            axis=1))
-        toks, lens = packed[:, :-3], packed[:, -3]
         if attributes is not None:
+            # caller-supplied attributes: ct/vt never reach the output, so
+            # don't transfer them
+            packed = np.asarray(jnp.concatenate(
+                [toks_d.astype(jnp.int32), lens_d[:, None].astype(jnp.int32)],
+                axis=1))
+            toks, lens = packed[:, :-1], packed[:, -1]
             attrs = list(attributes)
         else:
+            packed = np.asarray(jnp.concatenate(
+                [toks_d.astype(jnp.int32), lens_d[:, None].astype(jnp.int32),
+                 ct[:, None].astype(jnp.int32), vt[:, None].astype(jnp.int32)],
+                axis=1))
+            toks, lens = packed[:, :-3], packed[:, -3]
             attrs = [attribute_string(CAPTION_TYPE_PROMPTS[int(c)],
                                       VIOLATION_TYPES[int(v)])
                      for c, v in zip(packed[:, -2], packed[:, -1])]

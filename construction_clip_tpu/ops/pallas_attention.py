@@ -324,9 +324,16 @@ def _forward(q, k, v, is_causal: bool, scale: float):
     # group heads so each program's sublane dim (G*T rows across panels) is busy;
     # measured on v5e at ViT-B/32 shape (T=50): g=64 1.40ms, g=16 1.48, g=8 1.53,
     # g=4 1.74 — prefer the largest group whose fp32 logits panel fits VMEM.
+    # Budget with the PADDED panel the compiler actually allocates (sublane rows,
+    # lane cols; the key split caps cols at the split point + one remainder
+    # lane-tile), as _bwd_pallas_supported does — unpadded t*t undercounts by
+    # ~50% at awkward T like 257.
+    split = _split_point(t, is_causal)
+    tp = -(-t // 8) * 8
+    tl = split + 128 if split else -(-t // 128) * 128
     g = 1
     for cand in (64, 32, 16, 8, 4, 2):
-        if bh % cand == 0 and cand * t * t * 4 <= 4 * 1024 * 1024:
+        if bh % cand == 0 and cand * tp * tl * 4 <= 4 * 1024 * 1024:
             g = cand
             break
 

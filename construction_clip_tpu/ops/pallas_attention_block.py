@@ -308,18 +308,30 @@ def _bwd_batch_tile(b: int, t: int, d: int, itemsize: int) -> int:
         temps = 4 * bt * tp * d * 4 + 3 * bt * tp * tp * 4
         if weights + tiles + temps <= 15 * 1024 * 1024:
             return bt
+    return 0
+
+
+def _effective_pack(b: int, t: int, d: int, itemsize: int) -> int:
+    """Pack factor BOTH passes can afford: _pack_factor's lane-fit candidate,
+    accepted only if the packed shape fits the forward tile budget AND the
+    backward working-set budget (bt floor of 1 is not a guarantee of fit).
+    Shared by _forward/_backward so they can never disagree on packing."""
+    pack = _pack_factor(b, t)
+    if pack > 1 and _fwd_batch_tile(b // pack, pack * t, d, itemsize) \
+            and _bwd_batch_tile(b // pack, pack * t, d, itemsize):
+        return pack
     return 1
 
 
 def _backward(x, g, ln_s, ln_b, wqkv, bqkv, wout, n_heads, causal, eps):
     b0, t0, d = x.shape
-    pack = _pack_factor(b0, t0)
+    pack = _effective_pack(b0, t0, d, x.dtype.itemsize)
     if pack > 1:
         b, t = b0 // pack, pack * t0
         x, g = x.reshape(b, t, d), g.reshape(b, t, d)
     else:
         b, t = b0, t0
-    bt = _bwd_batch_tile(b, t, d, x.dtype.itemsize)
+    bt = _bwd_batch_tile(b, t, d, x.dtype.itemsize) or 1
     grid = (b // bt,)
     tile = lambda width: pl.BlockSpec((bt, t, width), lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM)
@@ -376,14 +388,12 @@ def _pack_factor(b: int, t: int) -> int:
 
 def _forward(x, ln_s, ln_b, wqkv, bqkv, wout, bout, n_heads, causal, eps):
     b, t, d = x.shape
-    pack = _pack_factor(b, t)
-    if pack > 1 and _fwd_batch_tile(b // pack, pack * t, d, x.dtype.itemsize):
+    pack = _effective_pack(b, t, d, x.dtype.itemsize)
+    if pack > 1:
         # free reshape: sample s of packed row i is row i*pack+s — row-major
         # layout is unchanged, only the attention mask sees segment boundaries
         b, t = b // pack, pack * t
         x = x.reshape(b, t, d)
-    else:
-        pack = 1
     bt = _fwd_batch_tile(b, t, d, x.dtype.itemsize) or 1
     grid = (b // bt,)
     tile = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)

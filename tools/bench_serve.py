@@ -83,14 +83,22 @@ def main():
 
         size = svc.pipe.clip_cfg.vision.image_size
         staged = host_shape_unify(img, 256)
+        # every shape the batcher can pad to: powers of two up to _max_batch,
+        # plus _max_batch itself when it is not a power of two (serve/app.py
+        # caps padding at min(next_pow2, _max_batch))
+        sizes = []
         n = 1
         while n <= svc._max_batch:
+            sizes.append(n)
+            n *= 2
+        if sizes[-1] != svc._max_batch:
+            sizes.append(svc._max_batch)
+        for n in sizes:
             t0 = time.perf_counter()
             svc.pipe.caption_images(
                 preprocess_batch(np.stack([staged] * n), size),
                 use_beam=svc.use_beam)
             log(f"warm B={n}: {time.perf_counter() - t0:.1f}s")
-            n *= 2
 
     def drive(svc):
         """(single-request ms, req/s @ 24-way, p50 ms, p99 ms) for one service."""
