@@ -24,8 +24,25 @@ class TrainState:
 
     @staticmethod
     def create(params, tx: optax.GradientTransformation) -> "TrainState":
-        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                          opt_state=tx.init(params))
+        """params may be mesh-placed (replicate/shard_clip_params). Scalars
+        created here (step, optimizer count) are then committed REPLICATED over
+        the same mesh: m/v inherit the params' shardings via zeros_like, but a
+        bare jnp scalar is uncommitted and an orbax restore would pin it to one
+        device — making the restored state unusable against mesh-committed
+        params (incompatible-devices at the next jitted step)."""
+        step = jnp.zeros((), jnp.int32)
+        opt_state = tx.init(params)
+        named = [l.sharding for l in jax.tree.leaves(params)
+                 if isinstance(l, jax.Array)
+                 and isinstance(l.sharding, jax.sharding.NamedSharding)]
+        if named:
+            rep = jax.sharding.NamedSharding(named[0].mesh,
+                                             jax.sharding.PartitionSpec())
+            place = lambda x: (jax.device_put(x, rep)
+                               if isinstance(x, jax.Array) and x.ndim == 0 else x)
+            step = place(step)
+            opt_state = jax.tree.map(place, opt_state)
+        return TrainState(step=step, params=params, opt_state=opt_state)
 
 
 def apply_gradients(state: TrainState, grads, tx: optax.GradientTransformation) -> TrainState:
