@@ -25,11 +25,14 @@ def main():
     p.add_argument("--clip_bpe", default=None)
     p.add_argument("--out", default="./embedding/ViT-B_32_train_embedding.npz")
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--arch", default=None,
+                   help="override the clip_model_type arch mapping (e.g. tiny_bpe "
+                        "for test-scale runs)")
     args = p.parse_args()
 
     enable_compilation_cache()
-    arch = {"ViT-B/32": "vit_b_32", "ViT-B/16": "vit_b_16", "ViT-L/14": "vit_l_14"}
-    params, cfg = load_clip(args.checkpoint, arch=arch[args.clip_model_type])
+    arch_map = {"ViT-B/32": "vit_b_32", "ViT-B/16": "vit_b_16", "ViT-L/14": "vit_l_14"}
+    params, cfg = load_clip(args.checkpoint, arch=args.arch or arch_map[args.clip_model_type])
     tokenizer = load_clip_tokenizer(args.clip_bpe, expect_vocab=cfg.text.vocab_size if args.checkpoint else None)
 
     import os

@@ -26,7 +26,7 @@ def main():
     p.add_argument("--image_root", default=".")
     p.add_argument("--clip_checkpoint", default=None)
     p.add_argument("--arch", default="vit_b_32",
-                   choices=["vit_b_32", "vit_b_16", "vit_l_14", "tiny"])
+                   choices=["vit_b_32", "vit_b_16", "vit_l_14", "tiny", "tiny_bpe"])
     p.add_argument("--caption_checkpoint", default=None,
                    help="npz of clipcap params {mapper,gpt} (train_clipcap output)")
     p.add_argument("--clip_bpe", default=None)
@@ -56,7 +56,7 @@ def main():
     from construction_clip_tpu.train.checkpoint import load_params_npz
 
     clip_params, clip_cfg = load_clip(args.clip_checkpoint, arch=args.arch)
-    gcfg = GPT2Config() if args.arch != "tiny" else GPT2Config.tiny()
+    gcfg = GPT2Config.tiny() if args.arch.startswith("tiny") else GPT2Config()
     ccfg = ClipCapConfig(prefix_length=args.prefix_length,
                          attribute_length=args.attribute_length,
                          mapper=args.mapping_type,
@@ -68,7 +68,9 @@ def main():
     pipe = CaptionPipeline(
         clip_params=clip_params, clip_cfg=clip_cfg, cap_params=cap_params,
         ccfg=ccfg, gcfg=gcfg,
-        clip_tokenizer=load_clip_tokenizer(args.clip_bpe, expect_vocab=clip_cfg.text.vocab_size if args.clip_checkpoint else None),
+        clip_tokenizer=load_clip_tokenizer(
+            args.clip_bpe,
+            expect_vocab=clip_cfg.text.vocab_size if args.clip_checkpoint else None),
         lm_tokenizer=load_hf_tokenizer(args.tokenizer))
 
     from common import stream_corpus

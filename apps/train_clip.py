@@ -35,7 +35,7 @@ def main():
     p.add_argument("--checkpoint", default=None, help=".pt (OpenAI/HF/fine-tuned) or .npz")
     p.add_argument("--clip_bpe", default=None, help="path to bpe_simple_vocab_16e6.txt.gz")
     p.add_argument("--arch", default="vit_b_32",
-                   choices=["vit_b_32", "vit_b_16", "vit_l_14", "tiny"])
+                   choices=["vit_b_32", "vit_b_16", "vit_l_14", "tiny", "tiny_bpe"])
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--resume", default=None, help="orbax checkpoint dir to resume from")
     p.add_argument("--log_dir", default="log")
@@ -121,6 +121,7 @@ def main():
 
     with StepWatchdog(timeout=args.watchdog_timeout) as watchdog:
         def train_epoch(state, epoch):
+            m = None
             for batch in train_loader:
                 batch = {"images": preprocess_batch(batch["images"], size),
                          "tokens": batch["tokens"]}
@@ -133,6 +134,13 @@ def main():
                                step_time=timer.mean)
                     print(f"epoch {epoch} step {s} loss {float(m['loss']):.4f} "
                           f"acc {float(m['accuracy']):.3f} {timer.mean*1e3:.0f} ms/step")
+            if m is None:
+                raise RuntimeError(
+                    f"epoch {epoch} ran zero steps — dataset produced no groups "
+                    f"(need >= {args.combination_num} distinct --key classes)")
+            # epoch-end point so short runs still record a loss curve
+            logger.log(int(state.step), loss=float(m["loss"]),
+                       accuracy=float(m["accuracy"]), step_time=timer.mean)
             if (epoch + 1) % args.save_every == 0:
                 accs = [float(eval_fn(state.params,
                                       {"images": preprocess_batch(b["images"], size),
@@ -142,9 +150,17 @@ def main():
                            test_accuracy=float(np.mean(accs)) if accs else 0.0)
             return state
 
-        run_resilient(train_epoch, state, epochs=args.epochs,
-                      checkpoint_dir=ckpt_dir,
-                      save_every_epochs=args.save_every)
+        state = run_resilient(train_epoch, state, epochs=args.epochs,
+                              checkpoint_dir=ckpt_dir,
+                              save_every_epochs=args.save_every)
+    # inference artifact: fine-tuned params as npz — the `clip_latest.pt` of the
+    # reference pipeline (CLIP/train.py:211-217 -> parse_coco.py:21); consumed by
+    # apps/parse_corpus.py --checkpoint and apps/predict.py --clip_checkpoint
+    from construction_clip_tpu.train.checkpoint import save_params_npz
+
+    npz_path = os.path.join(args.output_dir, f"{args.output_prefix}_latest.npz")
+    save_params_npz(npz_path, state.params)
+    print(f"saved inference params {npz_path}")
     logger.close()
 
 

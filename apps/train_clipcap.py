@@ -121,6 +121,7 @@ def main():
 
     with StepWatchdog(timeout=600.0) as watchdog:
         def train_epoch(state, epoch):
+            m = None
             for batch in loader:
                 state, m = step_fn(state, frozen, batch)
                 timer.tick()
@@ -130,6 +131,13 @@ def main():
                     logger.log(s, loss=float(m["loss"]), step_time=timer.mean)
                     print(f"epoch {epoch} step {s} loss {float(m['loss']):.4f} "
                           f"{timer.mean*1e3:.0f} ms/step")
+            if m is None:
+                raise RuntimeError(
+                    f"epoch {epoch} ran zero steps: global batch "
+                    f"{args.bs} x {n_dev} devices > {len(arrays['prefix'])} "
+                    f"archive items — lower --bs or the device count")
+            # epoch-end point so short runs still record a loss curve
+            logger.log(int(state.step), loss=float(m["loss"]), step_time=timer.mean)
             return state
 
         state = run_resilient(train_epoch, state, epochs=args.epochs,

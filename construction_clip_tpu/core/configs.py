@@ -75,6 +75,17 @@ class CLIPConfig:
             text=TextConfig(vocab_size=256, context_length=16, width=32, layers=2, heads=2, embed_dim=32),
         )
 
+    @staticmethod
+    def tiny_bpe() -> "CLIPConfig":
+        """tiny, with a text vocabulary a real ClipTokenizer can match exactly:
+        512 byte symbols + 6 merges + sot/eot = 520 (the BPE floor is 514; see
+        tools/make_offline_assets.py --tiny). For end-to-end CLI smoke runs
+        where checkpoint-consuming stages enforce tokenizer==model vocab."""
+        return CLIPConfig(
+            vision=VisionConfig(image_size=32, patch_size=8, width=64, layers=2, heads=2, embed_dim=32),
+            text=TextConfig(vocab_size=520, context_length=24, width=32, layers=2, heads=2, embed_dim=32),
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class GPT2Config:
