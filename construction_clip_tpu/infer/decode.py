@@ -41,6 +41,17 @@ class DecodeResult(NamedTuple):
     scores: jax.Array   # beam only: [B, beam] length-normalized log-prob, sorted desc
 
 
+def _precast(params, policy):
+    """Cast params to compute dtype ONCE at decode entry so the per-step
+    cast_to_compute inside the while_loop body is a dtype-identity no-op XLA
+    folds away (the T5 loop measured 2.6x over the dispatch floor from
+    re-casting the embedding/lm tables every step). Quantized trees pass
+    through untouched — casting their fp32 scales would change numerics."""
+    from construction_clip_tpu.models.gpt2 import _is_quantized
+
+    return params if _is_quantized(params) else policy.cast_to_compute(params)
+
+
 def _prefill(params, gcfg, embeds, max_steps, policy):
     b, t0, _ = embeds.shape
     cache = KVCache.create(gcfg, b, t0 + max_steps, dtype=policy.compute_dtype)
@@ -56,6 +67,7 @@ def greedy_decode(params, gcfg: GPT2Config, embeds, *, max_steps: int = 67,
     """embeds: [B, T0, n_embd] prompt embeddings. Greedy argmax decode — exact
     generate2 behavior (see module docstring)."""
     b = embeds.shape[0]
+    params = _precast(params, policy)
     last, cache = _prefill(params, gcfg, embeds, max_steps, policy)
 
     def cond(s):
@@ -99,6 +111,7 @@ def sample_decode(params, gcfg: GPT2Config, embeds, key, *, max_steps: int = 67,
                   policy: Policy = DEFAULT_POLICY) -> DecodeResult:
     """True nucleus (top-p) sampling with explicit PRNG key."""
     b = embeds.shape[0]
+    params = _precast(params, policy)
     last, cache = _prefill(params, gcfg, embeds, max_steps, policy)
 
     def cond(s):
@@ -146,6 +159,7 @@ def beam_decode(params, gcfg: GPT2Config, embeds, *, beam_size: int = 3,
     generate_beam's output ordering (test.py:353-440)."""
     b = embeds.shape[0]
     v = gcfg.vocab_size
+    params = _precast(params, policy)
     last, cache = _prefill(params, gcfg, embeds, max_steps, policy)
     t_total = cache.k.shape[3]
 

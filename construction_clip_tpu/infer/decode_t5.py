@@ -28,6 +28,11 @@ def t5_generate(params, tcfg: T5Config, encoder_hidden, *, key=None,
                 temperature: float = 1.0,
                 policy: Policy = DEFAULT_POLICY) -> DecodeResult:
     b = encoder_hidden.shape[0]
+    # Pre-cast ONCE so the per-step cast_to_compute inside the while_loop body
+    # is a dtype-identity no-op XLA folds away. Without this the loop re-casts
+    # the 250112x512 shared table + lm_head (~1 GB fp32 read + bf16 write)
+    # every step — measured 2.6x over the dispatch floor at B=1.
+    params = policy.cast_to_compute(params)
     cache = t5_init_cache(params, tcfg, encoder_hidden, max_len=max_steps + 1,
                           policy=policy)
     logits, cache = t5_decode(params, tcfg, jnp.full((b, 1), start_id, jnp.int32),

@@ -47,7 +47,11 @@ class PredictService:
         self._lock = threading.Lock()
         self._window = batch_window_ms / 1e3
         self._max_batch = max_batch
-        self._pending: list = []  # [(staged_u8, Event, result_slot)]
+        # real detectors expose image_size; the batcher then coalesces
+        # detection into the SAME drained batch (one vmapped forward) instead
+        # of a per-request detect() that would serialize the whole route
+        self._det_size = getattr(self.detector, "image_size", None)
+        self._pending: list = []  # [(staged_cap, staged_det, (h,w), Event, slot)]
         self._cv = threading.Condition()
         if self._window > 0:
             threading.Thread(target=self._drain_loop, daemon=True,
@@ -72,17 +76,35 @@ class PredictService:
         imgs = preprocess_batch(np.stack(staged_list), size)
         return self.pipe.caption_images(imgs, use_beam=self.use_beam)[:n]
 
+    def _detect_batch(self, staged_list, sizes):
+        # same pow2 padding as _caption_batch so a drain of n requests reuses
+        # one of log2(max_batch)+1 compiled detector programs
+        n = len(staged_list)
+        padded = 1
+        while padded < n:
+            padded *= 2
+        padded = min(padded, self._max_batch)
+        staged_list = list(staged_list) + [staged_list[-1]] * (padded - n)
+        sizes = list(sizes) + [sizes[-1]] * (padded - n)
+        return self.detector.detect_batch(np.stack(staged_list), sizes)[:n]
+
     def predict(self, image_u8: np.ndarray) -> dict:
         from construction_clip_tpu.data.pipeline import host_shape_unify
 
-        detection = self.detector.detect(image_u8)
         staged = host_shape_unify(image_u8, 256)
-
         if self._window <= 0:
+            detection = self.detector.detect(image_u8)
             with self._lock:
                 pred = self._caption_batch([staged])[0]
         else:
-            pred = self._predict_batched(staged)
+            det_staged = (host_shape_unify(image_u8, self._det_size)
+                          if self._det_size else None)
+            if self._det_size is None:  # null detector: free, stays inline
+                detection = self.detector.detect(image_u8)
+                pred, _ = self._predict_batched(staged, None, image_u8.shape[:2])
+            else:
+                pred, detection = self._predict_batched(staged, det_staged,
+                                                        image_u8.shape[:2])
         return {
             "boxes": detection["boxes"],
             "labels": detection["labels"],
@@ -92,19 +114,19 @@ class PredictService:
             "caption": pred["caption"],
         }
 
-    def _predict_batched(self, staged):
+    def _predict_batched(self, staged, det_staged, size):
         done = threading.Event()
-        slot: list = [None, None]  # [result, error]
+        slot: list = [None, None, None]  # [caption result, detection, error]
         with self._cv:
-            self._pending.append((staged, done, slot))
+            self._pending.append((staged, det_staged, size, done, slot))
             self._cv.notify()
         # bounded wait: if the batcher thread ever dies, fail fast instead of
         # hanging every subsequent request on an event nobody will set
         if not done.wait(timeout=300.0):
             raise RuntimeError("predict batcher did not respond within 300 s")
-        if slot[1] is not None:
-            raise slot[1]
-        return slot[0]
+        if slot[2] is not None:
+            raise slot[2]
+        return slot[0], slot[1]
 
     def _drain_loop(self):
         """Dedicated batcher: wait up to the coalescence window for a FULL
@@ -136,12 +158,16 @@ class PredictService:
             try:
                 with self._lock:
                     preds = self._caption_batch([b[0] for b in batch])
-                for (_, ev, sl), p in zip(batch, preds):
+                    dets = (self._detect_batch([b[1] for b in batch],
+                                               [b[2] for b in batch])
+                            if self._det_size is not None else [None] * len(batch))
+                for (_, _, _, ev, sl), p, d in zip(batch, preds, dets):
                     sl[0] = p
+                    sl[1] = d
                     ev.set()
             except Exception as e:  # propagate to every waiter, keep serving
-                for _, ev, sl in batch:
-                    sl[1] = e
+                for _, _, _, ev, sl in batch:
+                    sl[2] = e
                     ev.set()
 
 

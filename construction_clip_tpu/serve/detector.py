@@ -31,6 +31,9 @@ class NullDetector:
     def detect(self, image_u8: np.ndarray) -> dict:
         return {"boxes": [], "labels": [], "scores": []}
 
+    def detect_batch(self, staged_u8, sizes) -> list[dict]:
+        return [{"boxes": [], "labels": [], "scores": []} for _ in sizes]
+
 
 class JaxDetector:
     """The TPU-native Faster R-CNN (models/detection.py) behind the serving
@@ -39,6 +42,8 @@ class JaxDetector:
 
     def __init__(self, checkpoint: str | None = None, *, num_classes: int = 8,
                  image_size: int = 512, class_names=DETECTOR_CLASSES):
+        import functools
+
         import jax
 
         from construction_clip_tpu.models import detection as det
@@ -55,25 +60,23 @@ class JaxDetector:
         self.num_classes = num_classes
         self.class_names = class_names
         self._infer = det.fasterrcnn_infer
+        # batched inference: ONE device program over [B,S,S,3] — the serve
+        # batcher coalesces concurrent requests through this instead of the
+        # per-request detect() call that would serialize the whole route
+        self._batch_infer = jax.jit(jax.vmap(
+            functools.partial(det.fasterrcnn_infer, image_size=image_size,
+                              num_classes=num_classes),
+            in_axes=(None, 0)))
 
-    def detect(self, image_u8: np.ndarray) -> dict:
-        import jax.numpy as jnp
-
-        from construction_clip_tpu.data.pipeline import host_shape_unify
-
-        h, w = image_u8.shape[:2]
-        staged = host_shape_unify(image_u8, self.image_size)
-        det_out = self._infer(self.params,
-                              jnp.asarray(staged, jnp.float32) / 255.0,
-                              image_size=self.image_size,
-                              num_classes=self.num_classes)
-        # map boxes back to original resolution (short-side scale + center crop)
+    def _map_back(self, det_boxes, det_labels, det_scores, size) -> dict:
+        """Map detections from the staged square back to original resolution
+        (short-side scale + center crop)."""
+        h, w = size
         scale = min(h, w) / self.image_size
         off_x = (max(w, h) - min(w, h)) / 2 if w > h else 0.0
         off_y = (max(w, h) - min(w, h)) / 2 if h > w else 0.0
         boxes, labels, scores = [], [], []
-        for b, l, s in zip(np.asarray(det_out.boxes), np.asarray(det_out.labels),
-                           np.asarray(det_out.scores)):
+        for b, l, s in zip(det_boxes, det_labels, det_scores):
             if s <= 0:
                 continue
             boxes.append([float(b[0] * scale + off_x), float(b[1] * scale + off_y),
@@ -81,6 +84,25 @@ class JaxDetector:
             labels.append(int(l))
             scores.append(float(s))
         return {"boxes": boxes, "labels": labels, "scores": scores}
+
+    def detect(self, image_u8: np.ndarray) -> dict:
+        from construction_clip_tpu.data.pipeline import host_shape_unify
+
+        staged = host_shape_unify(image_u8, self.image_size)
+        return self.detect_batch(staged[None], [image_u8.shape[:2]])[0]
+
+    def detect_batch(self, staged_u8, sizes) -> list[dict]:
+        """staged_u8: [B, S, S, 3] uint8 (host_shape_unify'd); sizes: per-image
+        original (h, w). One jitted vmapped forward, one packed host fetch."""
+        import jax.numpy as jnp
+
+        out = self._batch_infer(self.params,
+                                jnp.asarray(staged_u8, jnp.float32) / 255.0)
+        boxes = np.asarray(out.boxes)
+        labels = np.asarray(out.labels)
+        scores = np.asarray(out.scores)
+        return [self._map_back(boxes[i], labels[i], scores[i], sizes[i])
+                for i in range(len(sizes))]
 
 
 class ThresholdWrapper:
@@ -93,8 +115,11 @@ class ThresholdWrapper:
         self.threshold = threshold
         self.class_names = class_names
 
-    def detect(self, image_u8: np.ndarray) -> dict:
-        raw = self.inner.detect(image_u8)
+    @property
+    def image_size(self):
+        return getattr(self.inner, "image_size", None)
+
+    def _apply(self, raw: dict) -> dict:
         boxes, labels, scores = [], [], []
         for b, l, s in zip(raw["boxes"], raw["labels"], raw["scores"]):
             if s >= self.threshold:
@@ -104,3 +129,9 @@ class ThresholdWrapper:
                 labels.append(name)
                 scores.append(float(s))
         return {"boxes": boxes, "labels": labels, "scores": scores}
+
+    def detect(self, image_u8: np.ndarray) -> dict:
+        return self._apply(self.inner.detect(image_u8))
+
+    def detect_batch(self, staged_u8, sizes) -> list[dict]:
+        return [self._apply(r) for r in self.inner.detect_batch(staged_u8, sizes)]

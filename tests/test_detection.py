@@ -79,6 +79,26 @@ def test_nms_matches_numpy_greedy(rng):
     assert ours == sorted(alive_ref)
 
 
+def test_nms_fixpoint_suppression_chain():
+    """Adversarial case for the fixed-point NMS: a long chain where box i
+    suppresses only box i+1 (greedy keeps exactly the even-indexed boxes).
+    This maximizes the fixed-point iteration's decision depth — each box's
+    fate depends on the one before it — so it exercises the worst-case
+    convergence path, where a naive one/two-pass scheme returns the wrong
+    over-/under-approximation."""
+    n = 64
+    # overlapping staircase: box i = [8i, 0, 8i+16, 16] overlaps i+1 with
+    # IoU 8*16/(2*16*16-8*16) = 1/3 > 0.3, overlaps i+2 with IoU 0
+    boxes = np.stack([8.0 * np.arange(n), np.zeros(n),
+                      8.0 * np.arange(n) + 16, np.full(n, 16.0)],
+                     axis=1).astype(np.float32)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)  # descending order
+    idx, keep = nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                         iou_threshold=0.3, max_out=n)
+    ours = sorted(int(i) for i, k in zip(np.asarray(idx), np.asarray(keep)) if k)
+    assert ours == list(range(0, n, 2))
+
+
 def test_roi_align_constant_region():
     """A constant feature map pools to that constant; a linear ramp pools to the
     bin-center value (bilinear exactness on linear functions)."""

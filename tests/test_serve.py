@@ -185,14 +185,54 @@ def test_drain_loop_full_backlog_skips_window():
     # full backlog: 4 concurrent requests finish far inside the 500 ms window
     t0 = _time.perf_counter()
     with cf.ThreadPoolExecutor(4) as pool:
-        out = list(pool.map(svc._predict_batched, range(4)))
+        out = list(pool.map(
+            lambda i: svc._predict_batched(i, None, (1, 1))[0], range(4)))
     dt_full = _time.perf_counter() - t0
     assert sorted(o["i"] for o in out) == [0, 1, 2, 3]
     assert dt_full < 0.4, f"full backlog waited the window: {dt_full:.3f}s"
 
     # under-full backlog: a single request pays ~the whole window
     t0 = _time.perf_counter()
-    svc._predict_batched(9)
+    svc._predict_batched(9, None, (1, 1))
     dt_single = _time.perf_counter() - t0
     assert dt_single >= 0.45, f"window not honored: {dt_single:.3f}s"
     assert max(sizes) == 4  # the 4-way drain really was one batch
+
+
+def test_batched_detector_coalesced_drain():
+    """With a real detector (exposes image_size + detect_batch), the drain loop
+    runs detection on the SAME coalesced batch — one detect_batch call for N
+    concurrent requests, per-request results routed back — instead of the
+    per-request detect() that serialized the route (reference contract:
+    application.py:231-254 runs detection on every /predict)."""
+    import concurrent.futures as cf
+
+    import numpy as np
+
+    from construction_clip_tpu.serve.app import PredictService
+
+    calls = []
+
+    class FakeDetector:
+        image_size = 32
+
+        def detect_batch(self, staged_u8, sizes):
+            calls.append(staged_u8.shape[0])
+            return [{"boxes": [[0, 0, 1, 1]], "labels": ["worker"],
+                     "scores": [0.9 + 0.001 * i]} for i in range(len(sizes))]
+
+        def detect(self, image_u8):
+            raise AssertionError("batched path must not call detect()")
+
+    svc = PredictService(caption_pipeline=None, detector=FakeDetector(),
+                         use_beam=False, batch_window_ms=300, max_batch=4)
+    svc._caption_batch = lambda staged_list: [
+        {"caption_type": "c", "violation_type": "v", "caption": "x"}
+        for _ in staged_list]
+
+    img = np.zeros((48, 64, 3), np.uint8)
+    with cf.ThreadPoolExecutor(4) as pool:
+        out = list(pool.map(lambda _: svc.predict(img), range(4)))
+    assert calls == [4], f"expected one 4-way detect_batch, got {calls}"
+    assert all(o["labels"] == ["worker"] for o in out)
+    assert len({o["scores"][0] for o in out}) == 4  # per-slot routing, no dup
