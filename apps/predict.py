@@ -35,6 +35,11 @@ def main():
     p.add_argument("--attribute_length", type=int, default=20)
     p.add_argument("--mapping_type", default="mlp")
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--policy", default="auto",
+                   choices=["auto", "fp32", "bf16"],
+                   help="compute precision; auto = bf16 on TPU, fp32 on CPU "
+                        "(fp32 beam decode at B=16 hits a TPU-backend fault; "
+                        "see core/precision.py)")
     p.add_argument("--beam", action="store_true", default=True)
     p.add_argument("--greedy", dest="beam", action="store_false")
     p.add_argument("--output_dir", default="output")
@@ -49,6 +54,7 @@ def main():
     import jax
 
     from construction_clip_tpu.core.configs import ClipCapConfig, GPT2Config
+    from construction_clip_tpu.core.precision import policy_from_name
     from construction_clip_tpu.data.preprocess import preprocess_batch
     from construction_clip_tpu.data.schema import load_annotations
     from construction_clip_tpu.infer.caption import CaptionPipeline
@@ -71,7 +77,8 @@ def main():
         clip_tokenizer=load_clip_tokenizer(
             args.clip_bpe,
             expect_vocab=clip_cfg.text.vocab_size if args.clip_checkpoint else None),
-        lm_tokenizer=load_hf_tokenizer(args.tokenizer))
+        lm_tokenizer=load_hf_tokenizer(args.tokenizer),
+        policy=policy_from_name(args.policy))
 
     from common import stream_corpus
 

@@ -39,5 +39,14 @@ BF16_POLICY = Policy(compute_dtype=jnp.bfloat16)
 
 
 def policy_from_name(name: str) -> Policy:
+    """'auto' picks the backend-native compute dtype: bf16 on TPU (MXU-native,
+    and the only chip-validated beam-decode config — fp32 beam decode at B=16
+    reproducibly crashes the TPU worker, a backend fault bisected in round 4:
+    bf16 B=16 OK, fp32 B=8 OK, fp32 B=16 worker crash), fp32 on CPU where the
+    parity tests run."""
+    if name == "auto":
+        import jax
+
+        return BF16_POLICY if jax.default_backend() == "tpu" else DEFAULT_POLICY
     return {"float32": DEFAULT_POLICY, "fp32": DEFAULT_POLICY,
             "bfloat16": BF16_POLICY, "bf16": BF16_POLICY}[name]

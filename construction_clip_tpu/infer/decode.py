@@ -156,7 +156,13 @@ def beam_decode(params, gcfg: GPT2Config, embeds, *, beam_size: int = 3,
     leaving the unavoidable attention read as the only cache traffic.
 
     Returns beams sorted by normalized score (desc), matching reference
-    generate_beam's output ordering (test.py:353-440)."""
+    generate_beam's output ordering (test.py:353-440).
+
+    KNOWN BACKEND FAULT (round 4, bisected standalone): fp32 beam decode at
+    B=16/beam=3/T=140 reproducibly crashes the TPU worker process ("kernel
+    fault"); bf16 at the identical shape and fp32 at B=8 both pass, and the
+    identical program is correct on CPU. Use a bf16 compute policy on TPU
+    (policy_from_name("auto")); fp32 beam is for CPU parity runs."""
     b = embeds.shape[0]
     v = gcfg.vocab_size
     params = _precast(params, policy)
