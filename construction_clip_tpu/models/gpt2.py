@@ -228,7 +228,12 @@ def gpt2_forward(
 
     tokens XOR inputs_embeds. With a cache, positions start at cache.length (the new
     tokens are appended). attn_bias: additive, broadcastable to [B,H,T_q,T_k]
-    (T_k = cache T_max when cached).
+    (T_k = T_q for multi-token calls, cache T_max for t==1 steps).
+
+    Multi-token cached calls are PREFILL-ONLY: they assume cache.length == 0
+    (a fresh cache) and attend within the chunk; appending a multi-token chunk
+    to a non-empty cache is unsupported (no caller does it — see layer_body's
+    prefill note for the TPU fault that also makes the windowed read unsafe).
     """
     p = params if _is_quantized(params) else policy.cast_to_compute(params)
     if inputs_embeds is None:
@@ -257,7 +262,20 @@ def gpt2_forward(
                 (l, 0, 0, start, 0))
             cv_all = jax.lax.dynamic_update_slice(
                 cv_all, v.astype(cv_all.dtype)[None], (l, 0, 0, start, 0))
-            if (t == 1 and DECODE_ATTN_KERNEL and attn_bias is None
+            if t > 1:
+                # PREFILL: attend over this chunk's FRESH q/k/v instead of
+                # reading back the just-written cache window. Multi-token
+                # cached calls only ever happen with a fresh cache
+                # (infer/decode._prefill, cache_len==0), where chunk-causal
+                # attention is exactly the windowed computation. Besides
+                # skipping the masked-tail FLOPs (t*t vs t*T_max logits),
+                # this dodges a TPU backend fault bisected in round 4: the
+                # bf16 write-then-read of a PADDED cache window inside the
+                # layer scan returns garbage logits (argmax 0 for every row)
+                # while the exact-size window, fp32 compute, and CPU are all
+                # correct (tools/diag_e2e_tpu.py; runs/e2e empty-caption bug).
+                out, _ = _attn_uncached(q, k, v, attn_bias)
+            elif (t == 1 and DECODE_ATTN_KERNEL and attn_bias is None
                     and cache_ancestry is None):
                 from construction_clip_tpu.ops import pallas_decode_attention
 

@@ -53,3 +53,11 @@ def test_policy():
     assert out["i"].dtype == jnp.int32  # non-float leaves untouched
     with pytest.raises(KeyError):
         policy_from_name("fp64")
+
+
+def test_policy_auto_tracks_backend():
+    # tests force the CPU backend (conftest), so auto == fp32 here; on TPU it
+    # is BF16_POLICY (the only chip-validated beam-decode config — see
+    # core/precision.policy_from_name)
+    from construction_clip_tpu.core.precision import DEFAULT_POLICY
+    assert policy_from_name("auto") is DEFAULT_POLICY

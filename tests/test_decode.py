@@ -153,3 +153,28 @@ def test_unroll_flag_equivalence(pair, rng):
         jax.clear_caches()
     np.testing.assert_array_equal(np.asarray(out_scan.tokens),
                                   np.asarray(out_unroll.tokens))
+
+
+def test_prefill_matches_uncached_forward(pair, rng):
+    """Prefill into a PADDED cache window must produce the same last-token
+    logits as the plain uncached forward — in fp32 AND bf16 compute. The
+    padded-window read path regressed on the TPU backend in round 4 (bf16
+    prefill returned garbage; tools/diag_prefill_fix.py), so prefill now
+    attends over the chunk's fresh q/k/v; this pins the logic equivalence."""
+    from construction_clip_tpu.core.precision import BF16_POLICY, DEFAULT_POLICY
+    from construction_clip_tpu.infer.decode import _prefill, _precast
+    from construction_clip_tpu.models.gpt2 import gpt2_forward
+
+    _, params = pair
+    embeds = jnp.asarray(rng.standard_normal((2, 6, GCFG.n_embd)) * 0.1,
+                         jnp.float32)
+    for policy, tol in ((DEFAULT_POLICY, 1e-5), (BF16_POLICY, 5e-2)):
+        p = _precast(params, policy)
+        ref, _ = gpt2_forward(p, GCFG, inputs_embeds=embeds, policy=policy)
+        last, cache = _prefill(p, GCFG, embeds, 10, policy)
+        np.testing.assert_allclose(np.asarray(last, np.float32),
+                                   np.asarray(ref[:, -1], np.float32),
+                                   atol=tol, rtol=tol)
+        # the cache rows written by prefill must equal an exact-size window's
+        assert int(cache.length) == 6
+        assert cache.k.shape[3] == 16

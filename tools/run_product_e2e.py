@@ -145,6 +145,8 @@ def prepare_corpus(corpus_json: str, workdir: str, subset: int | None):
 # ---------------------------------------------------------------- stages
 
 def run_stage(name: str, argv: list[str], env: dict, log_path: str) -> dict:
+    if argv[0] == sys.executable:  # unbuffered so the log is pollable mid-run
+        argv = [argv[0], "-u", *argv[1:]]
     print(f"\n=== stage {name}: {' '.join(argv)}", flush=True)
     t0 = time.time()
     with open(log_path, "w", encoding="utf-8") as log:
