@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import time
 
 import numpy as np
 
@@ -43,6 +44,13 @@ def main():
     p.add_argument("--beam", action="store_true", default=True)
     p.add_argument("--greedy", dest="beam", action="store_false")
     p.add_argument("--output_dir", default="output")
+    p.add_argument("--suspect_retries", type=int, default=2,
+                   help="re-run rows still decode_suspect after the "
+                        "pipeline's in-process greedy retry (corrupted-TPU-"
+                        "worker garbage window) this many times")
+    p.add_argument("--suspect_backoff", type=float, default=300.0,
+                   help="seconds to wait before each decode_suspect re-run "
+                        "(worker garbage windows clear in ~10-15 min)")
     p.add_argument("--plots", action="store_true", help="write annotated figures")
     p.add_argument("--explain", action="store_true", help="relevance overlays")
     p.add_argument("--attention_maps", action="store_true",
@@ -109,6 +117,34 @@ def main():
                 _attention_map(pipe, imgs[i], pr,
                                os.path.join(args.output_dir,
                                             os.path.basename(a.file_name) + ".attn.png"))
+
+    # Garbage-window recovery (round 4): rows the pipeline flagged
+    # decode_suspect (still collapsed after its in-process greedy retry —
+    # a corrupted-TPU-worker window returns token-0 logits for SOME rows of
+    # a decode program, nondeterministically; tools/diag_beam_variants.py)
+    # are re-run after a backoff, while the worker recovers. Plots/explain
+    # artifacts are not regenerated for retried rows.
+    by_id = {a.id: a for a in annotations}
+    for attempt in range(args.suspect_retries):
+        sus = [r for r in results if r.get("decode_suspect")]
+        if not sus:
+            break
+        print(f"decode_suspect rows: {len(sus)}/{len(results)} — "
+              f"retry {attempt + 1}/{args.suspect_retries} after "
+              f"{args.suspect_backoff:.0f}s backoff", flush=True)
+        time.sleep(args.suspect_backoff)
+        rec_by_id = {r["id"]: r for r in sus}
+        sus_anns = [by_id[r["id"]] for r in sus]
+        for batch_anns, staged in stream_corpus(sus_anns, args.image_root,
+                                                args.batch_size):
+            imgs = preprocess_batch(staged, clip_cfg.vision.image_size)
+            preds = pipe.caption_images(imgs, use_beam=args.beam)
+            for a, pr in zip(batch_anns, preds):
+                rec_by_id[a.id].update(pr)
+    n_sus = sum(1 for r in results if r.get("decode_suspect"))
+    if n_sus:
+        print(f"WARNING: {n_sus}/{len(results)} rows remain decode_suspect "
+              f"after {args.suspect_retries} retries", flush=True)
 
     out_json = os.path.join(args.output_dir, "output_log.json")
     with open(out_json, "w", encoding="utf-8") as f:

@@ -12,6 +12,7 @@ call, one jitted forward + one jitted decode for the whole batch.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Optional, Sequence
 
 import numpy as np
@@ -136,8 +137,45 @@ class CaptionPipeline:
                                       VIOLATION_TYPES[int(v)])
                      for c, v in zip(packed[:, -2], packed[:, -1])]
         captions = self.decode_to_text(toks, lens)
+        # Decode-collapse guard (round 4): a TPU worker in a corrupted window
+        # (observed after a backend kernel fault; tools/diag_beam_variants.py
+        # ran the IDENTICAL program twice 15 min apart and got 8/8 then 0/8
+        # real captions — the runs/e2e 162-empty-caption artifact was this)
+        # returns garbage logits for SOME rows of a decode program: every step
+        # argmaxes to token 0, so the row never stops and decodes to ''. A
+        # real caption that hits max_steps still has non-[PAD] tokens and
+        # decodes non-empty, so `empty AND length == max_steps` is a precise
+        # collapse signature. Beam rows are retried with greedy in-process;
+        # rows still collapsed after that are flagged `decode_suspect` so
+        # callers (apps/predict.py) can re-run them after a backoff.
+        suspect = {i for i, (c, n) in enumerate(zip(captions, lens))
+                   if not c and int(n) >= self.max_steps}
+        if use_beam and suspect:
+            bad = sorted(suspect)
+            logging.getLogger(__name__).warning(
+                "beam decode collapsed on %d/%d rows (empty at max_steps);"
+                " retrying those rows with greedy decode", len(bad),
+                len(captions))
+            idx = jnp.asarray(np.asarray(bad, np.int32))
+            g = greedy_decode(self.cap_params["gpt"], self.gcfg,
+                              embeds[idx], max_steps=self.max_steps,
+                              stop_token=self.stop_token,
+                              policy=self.policy)
+            gpacked = np.asarray(jnp.concatenate(
+                [g.tokens.astype(jnp.int32),
+                 g.lengths[:, None].astype(jnp.int32)], axis=1))
+            gcaps = self.decode_to_text(gpacked[:, :-1], gpacked[:, -1])
+            for i, cap, glen in zip(bad, gcaps, gpacked[:, -1]):
+                captions[i] = cap
+                if cap or int(glen) < self.max_steps:
+                    suspect.discard(i)
+        if suspect:
+            logging.getLogger(__name__).error(
+                "%d/%d rows still collapsed after retry — the device is in a"
+                " garbage window; rows are flagged decode_suspect",
+                len(suspect), len(captions))
         out = []
-        for cap, attr in zip(captions, attrs):
+        for i, (cap, attr) in enumerate(zip(captions, attrs)):
             parts = attr.split()
             ct_zh = parts[0] if parts else ""
             vt = parts[1] if len(parts) > 1 else ""
@@ -146,5 +184,6 @@ class CaptionPipeline:
                 "attribute": attr,
                 "caption_type": "status" if ct_zh == "現況" else "violation",
                 "violation_type": vt,
+                "decode_suspect": i in suspect,
             })
         return out

@@ -25,6 +25,8 @@ class TinyLMTok:
         return [ord(c) % 90 + 3 for c in text][:8]
 
     def decode(self, ids, skip_special_tokens=True):
+        if skip_special_tokens:  # id 0 is [PAD], like the BERT-zh vocab
+            ids = [i for i in ids if int(i) != 0]
         return " ".join(str(int(i)) for i in ids)
 
 
@@ -71,6 +73,64 @@ def test_explicit_attributes_and_beam(pipe, rng):
     assert out[0]["caption_type"] == "violation"
     assert out[0]["violation_type"] == "墜落"
     assert out[1]["caption_type"] == "status"
+
+
+def test_beam_collapse_guard_falls_back_to_greedy(pipe, rng, monkeypatch, caplog):
+    """Collapsed beam rows (empty caption at exactly max_steps — the corrupted-
+    TPU-worker signature, tools/diag_beam_variants.py) are retried with greedy."""
+    import logging
+
+    from construction_clip_tpu.data.preprocess import preprocess_batch
+    from construction_clip_tpu.infer import caption as cap_mod
+    from construction_clip_tpu.infer.decode import DecodeResult
+
+    imgs = preprocess_batch((rng.random((2, 48, 48, 3)) * 255).astype(np.uint8), 32)
+    attrs = ["缺失 墜落 ", "現況 機械 "]
+    expected = pipe.caption_images(imgs, attributes=attrs, use_beam=False)
+
+    def collapsed_beam(params, gcfg, embeds, **kw):
+        b = embeds.shape[0]
+        return DecodeResult(
+            tokens=jnp.zeros((b, pipe.beam_size, pipe.max_steps), jnp.int32),
+            lengths=jnp.full((b, pipe.beam_size), pipe.max_steps, jnp.int32),
+            scores=jnp.zeros((b, pipe.beam_size)))
+
+    monkeypatch.setattr(cap_mod, "beam_decode", collapsed_beam)
+    with caplog.at_level(logging.WARNING):
+        out = pipe.caption_images(imgs, attributes=attrs, use_beam=True)
+    assert "collapsed" in caplog.text
+    assert [o["caption"] for o in out] == [e["caption"] for e in expected]
+    assert all(o["decode_suspect"] is False for o in out)
+
+
+def test_collapse_flags_suspect_when_greedy_also_collapses(pipe, rng, monkeypatch):
+    """Rows still collapsed after the greedy retry carry decode_suspect=True
+    so apps/predict.py can re-run them after a backoff."""
+    from construction_clip_tpu.data.preprocess import preprocess_batch
+    from construction_clip_tpu.infer import caption as cap_mod
+    from construction_clip_tpu.infer.decode import DecodeResult
+
+    imgs = preprocess_batch((rng.random((2, 48, 48, 3)) * 255).astype(np.uint8), 32)
+
+    def collapsed_beam(params, gcfg, embeds, **kw):
+        b = embeds.shape[0]
+        return DecodeResult(
+            tokens=jnp.zeros((b, pipe.beam_size, pipe.max_steps), jnp.int32),
+            lengths=jnp.full((b, pipe.beam_size), pipe.max_steps, jnp.int32),
+            scores=jnp.zeros((b, pipe.beam_size)))
+
+    def collapsed_greedy(params, gcfg, embeds, **kw):
+        b = embeds.shape[0]
+        return DecodeResult(tokens=jnp.zeros((b, pipe.max_steps), jnp.int32),
+                            lengths=jnp.full((b,), pipe.max_steps, jnp.int32),
+                            scores=jnp.zeros((b,)))
+
+    monkeypatch.setattr(cap_mod, "beam_decode", collapsed_beam)
+    monkeypatch.setattr(cap_mod, "greedy_decode", collapsed_greedy)
+    out = pipe.caption_images(imgs, attributes=["缺失 墜落 ", "現況 機械 "],
+                              use_beam=True)
+    assert all(o["decode_suspect"] is True for o in out)
+    assert all(o["caption"] == "" for o in out)
 
 
 def test_decode_to_text_strips_stop_and_spaces(pipe):
