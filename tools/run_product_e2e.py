@@ -195,6 +195,10 @@ def main():
                         "50k-step runs, CLIP/train.py:145-147)")
     p.add_argument("--beam", action="store_true", default=True)
     p.add_argument("--greedy", dest="beam", action="store_false")
+    p.add_argument("--predict_bs", type=int, default=8,
+                   help="stage-4 batch size (8 -> 24 beam rows, the shape "
+                        "validated healthy on-chip; 16 -> 48 rows, the fp32 "
+                        "worker-crash family)")
     p.add_argument("--from_stage", type=int, default=1,
                    help="resume from stage N (artifacts of earlier stages must exist)")
     args = p.parse_args()
@@ -275,7 +279,7 @@ def main():
         "--caption_checkpoint", cap_npz, "--clip_bpe", merges,
         "--tokenizer", vocab_dir,
         *([] if args.beam else ["--greedy"]),
-        "--batch_size", "16", "--output_dir", out_dir])
+        "--batch_size", str(args.predict_bs), "--output_dir", out_dir])
 
     stage(5, "score", [
         sys.executable, os.path.join(APPS, "score.py"),
