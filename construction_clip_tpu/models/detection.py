@@ -242,6 +242,73 @@ def roi_align(feat, boxes, *, out_size: int = 7, spatial_scale: float,
     return jax.vmap(sample_box)(x1, y1, bin_w, bin_h)
 
 
+def roi_align_multilevel(feats, boxes, lvl_assign, *, strides,
+                         out_size: int = 7, sampling_ratio: int = 2):
+    """Multi-level ROIAlign as ONE flat gather: feats (list of [H_l,W_l,C],
+    e.g. P2..P5), boxes [N,4] xyxy image coords, lvl_assign [N] int32 level
+    index per box. Returns [N, out, out, C].
+
+    Numerically identical to running `roi_align` per level and selecting by
+    lvl_assign (tests/test_detection.py pins this), but gathers each box's
+    samples from its OWN level only: the per-level formulation in round ≤4
+    pooled every proposal at every level and masked 3/4 of it away — ROIAlign
+    was 119.6 of the 154 ms b=8@512 inference (tools/attr_detection.py). All
+    levels concatenate into one [ΣHW, C] row table and the 4 bilinear corners
+    are four [N, K, K] row-gathers with per-box level offsets; interpolation
+    weights stay fp32 (sub-pixel coords), values may be bf16."""
+    C = feats[0].shape[-1]
+    hw = [(f.shape[0], f.shape[1]) for f in feats]
+    offs = np.concatenate([[0], np.cumsum([h * w for h, w in hw])]).astype(np.int32)
+    flat = jnp.concatenate([f.reshape(-1, C) for f in feats], axis=0)
+    dims = jnp.asarray(hw, jnp.int32)                       # [L, 2]
+    scale = jnp.asarray([1.0 / s for s in strides])[lvl_assign]   # [N]
+    Hl = dims[lvl_assign, 0].astype(jnp.float32)
+    Wl = dims[lvl_assign, 1].astype(jnp.float32)
+    base = jnp.asarray(offs[:-1], jnp.int32)[lvl_assign]    # [N]
+
+    b = boxes * scale[:, None]
+    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    bw = jnp.maximum(x2 - x1, 1.0)
+    bh = jnp.maximum(y2 - y1, 1.0)
+    s = sampling_ratio
+    grid = ((jnp.arange(out_size)[:, None] + (jnp.arange(s) + 0.5)[None, :] / s)
+            .reshape(-1))                                   # [out*s]
+    ys = y1[:, None] + grid[None, :] * (bh / out_size)[:, None]   # [N, out*s]
+    xs = x1[:, None] + grid[None, :] * (bw / out_size)[:, None]
+
+    def axis_weights(coords, size):
+        """Per-box torchvision bilinear_interpolate semantics (see roi_align)
+        with a [N] size vector."""
+        sz = size[:, None]
+        in_range = (coords >= -1.0) & (coords <= sz)
+        c = jnp.clip(coords, 0.0, None)
+        lo = jnp.minimum(jnp.floor(c), sz - 1)
+        frac = jnp.where(lo >= sz - 1, 0.0, c - lo)
+        lo_i = lo.astype(jnp.int32)
+        hi_i = jnp.minimum(lo_i + 1, sz.astype(jnp.int32) - 1)
+        return lo_i, hi_i, frac, in_range
+
+    y0i, y1i, ly, ok_y = axis_weights(ys, Hl)
+    x0i, x1i, lx, ok_x = axis_weights(xs, Wl)
+    wl_i = dims[lvl_assign, 1][:, None, None]               # [N,1,1] int32
+
+    def gather(yi, xi):
+        idx = base[:, None, None] + yi[:, :, None] * wl_i + xi[:, None, :]
+        return flat[idx]                                    # [N, K, K, C]
+
+    f00 = gather(y0i, x0i)
+    f01 = gather(y0i, x1i)
+    f10 = gather(y1i, x0i)
+    f11 = gather(y1i, x1i)
+    wy = ly[:, :, None, None]
+    wx = lx[:, None, :, None]
+    val = (f00 * (1 - wy) * (1 - wx) + f01 * (1 - wy) * wx +
+           f10 * wy * (1 - wx) + f11 * wy * wx)
+    val = val * (ok_y[:, :, None] & ok_x[:, None, :])[..., None]
+    val = val.reshape(val.shape[0], out_size, s, out_size, s, C)
+    return val.mean(axis=(2, 4))                            # [N, out, out, C]
+
+
 # ------------------------------------------------------------------- detector
 
 class Detections(NamedTuple):
@@ -306,8 +373,10 @@ def rpn_propose(params, p_feats, *, image_size: int, pre_nms_topk: int,
                         params["rpn"]["conv"]["b"])
         logits = (t @ params["rpn"]["cls"]["w"] + params["rpn"]["cls"]["b"])[0]
         deltas = (t @ params["rpn"]["bbox"]["w"] + params["rpn"]["bbox"]["b"])[0]
-        logits = logits.reshape(-1)                      # [h*w*a]
-        deltas = deltas.reshape(-1, 4)
+        # box math is fp32 regardless of the backbone compute dtype (bf16's
+        # 8 mantissa bits resolve ~2px at coord 512)
+        logits = logits.reshape(-1).astype(jnp.float32)  # [h*w*a]
+        deltas = deltas.reshape(-1, 4).astype(jnp.float32)
         anchors = level_anchors(h, w, stride, ANCHOR_SIZES[lvl])
         # per-level top-k before decode (torchvision does per-level topk)
         k = min(pre_nms_topk, logits.shape[0])
@@ -332,16 +401,39 @@ def rpn_propose(params, p_feats, *, image_size: int, pre_nms_topk: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "image_size", "pre_nms_topk", "post_nms_topk", "detections_per_img",
-    "num_classes", "rpn_nms_candidates"))
+    "num_classes", "rpn_nms_candidates", "compute_dtype"))
 def fasterrcnn_infer(params, image, *, image_size: int = 800,
                      pre_nms_topk: int = 1000, post_nms_topk: int = 300,
                      detections_per_img: int = 100, num_classes: int = 8,
                      rpn_nms_thresh: float = 0.7, box_nms_thresh: float = 0.5,
                      score_thresh: float = 0.05,
-                     rpn_nms_candidates: int = 2000) -> Detections:
+                     rpn_nms_candidates: int = 2000,
+                     compute_dtype=jnp.float32) -> Detections:
     """image [S,S,3] float in [0,1] (square-staged). Returns fixed-size Detections;
-    empty slots have score 0 / label 0."""
-    x = (image - jnp.asarray(IMAGE_MEAN)) / jnp.asarray(IMAGE_STD)
+    empty slots have score 0 / label 0.
+
+    compute_dtype: dtype for the conv/GEMM-heavy stages (backbone, FPN, RPN
+    convs, box head). bf16 runs them MXU-native on TPU; all BOX arithmetic
+    (anchor decode, IoU, NMS, coordinates up to image_size — bf16's 8 mantissa
+    bits resolve only ~2px at 512) plus softmax stays fp32: head outputs are
+    upcast before any coordinate math, pre-folded BN is a bf16-safe
+    scale/shift, and ROIAlign interpolation weights come from fp32 proposal
+    coords. torchvision parity tests run fp32 (the reference contract,
+    application.py:13-25); bf16 is the serving configuration."""
+    cd = jnp.dtype(compute_dtype)
+    if cd != jnp.float32:
+        def _cast(t):
+            return jax.tree.map(
+                lambda z: z.astype(cd)
+                if jnp.issubdtype(z.dtype, jnp.floating) else z, t)
+        params = dict(params,
+                      backbone=_cast(params["backbone"]),
+                      fpn=_cast(params["fpn"]),
+                      rpn=_cast(params["rpn"]),
+                      box_head=_cast(params["box_head"]))
+        image = image.astype(cd)
+    x = (image - jnp.asarray(IMAGE_MEAN, image.dtype)) \
+        / jnp.asarray(IMAGE_STD, image.dtype)
     c_feats = resnet_pyramid(params["backbone"], x[None])
     p_feats = fpn_forward(params["fpn"], c_feats)  # P2..P6, batch 1
 
@@ -355,18 +447,18 @@ def fasterrcnn_infer(params, image, *, image_size: int = 800,
     ph = jnp.clip(proposals[:, 3] - proposals[:, 1], 1e-6)
     lvl_assign = jnp.clip(jnp.floor(4 + jnp.log2(jnp.sqrt(pw * ph) / 224 + 1e-6)),
                           2, 5).astype(jnp.int32) - 2     # 0..3 over P2..P5
-    pooled = jnp.zeros((proposals.shape[0], 7, 7, p_feats[0].shape[-1]))
-    for lvl in range(4):
-        stride = 4 * (2 ** lvl)
-        feats_l = roi_align(p_feats[lvl][0], proposals, spatial_scale=1.0 / stride)
-        pooled = jnp.where((lvl_assign == lvl)[:, None, None, None], feats_l, pooled)
+    pooled = roi_align_multilevel(
+        [p_feats[lvl][0] for lvl in range(4)], proposals, lvl_assign,
+        strides=(4, 8, 16, 32)).astype(cd)
 
     # torchvision flattens NCHW (C,7,7) into fc6 — transpose to match its weights
     flat = pooled.transpose(0, 3, 1, 2).reshape(pooled.shape[0], -1)
     h6 = jax.nn.relu(flat @ params["box_head"]["fc6"]["w"] + params["box_head"]["fc6"]["b"])
     h7 = jax.nn.relu(h6 @ params["box_head"]["fc7"]["w"] + params["box_head"]["fc7"]["b"])
-    cls_logits = h7 @ params["box_head"]["cls_score"]["w"] + params["box_head"]["cls_score"]["b"]
-    box_deltas = h7 @ params["box_head"]["bbox_pred"]["w"] + params["box_head"]["bbox_pred"]["b"]
+    cls_logits = (h7 @ params["box_head"]["cls_score"]["w"]
+                  + params["box_head"]["cls_score"]["b"]).astype(jnp.float32)
+    box_deltas = (h7 @ params["box_head"]["bbox_pred"]["w"]
+                  + params["box_head"]["bbox_pred"]["b"]).astype(jnp.float32)
     probs = jax.nn.softmax(cls_logits, axis=-1)           # [P, num_classes]
 
     # per-class decode + NMS (class 0 = background)

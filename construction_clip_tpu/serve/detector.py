@@ -41,12 +41,20 @@ class JaxDetector:
     model_final.pth) or None (random weights — smoke/serving-shape testing)."""
 
     def __init__(self, checkpoint: str | None = None, *, num_classes: int = 8,
-                 image_size: int = 512, class_names=DETECTOR_CLASSES):
+                 image_size: int = 512, class_names=DETECTOR_CLASSES,
+                 compute_dtype=None):
+        """compute_dtype: detection compute precision; None = bf16 on TPU,
+        fp32 elsewhere (box arithmetic is always fp32 — models/detection.py)."""
         import functools
 
         import jax
+        import jax.numpy as jnp
 
         from construction_clip_tpu.models import detection as det
+
+        if compute_dtype is None:
+            compute_dtype = (jnp.bfloat16 if jax.default_backend() != "cpu"
+                             else jnp.float32)
 
         if checkpoint:
             from construction_clip_tpu.models.clip.convert import load_torch_checkpoint
@@ -65,8 +73,10 @@ class JaxDetector:
         # per-request detect() call that would serialize the whole route
         self._batch_infer = jax.jit(jax.vmap(
             functools.partial(det.fasterrcnn_infer, image_size=image_size,
-                              num_classes=num_classes),
+                              num_classes=num_classes,
+                              compute_dtype=compute_dtype),
             in_axes=(None, 0)))
+        self.compute_dtype = compute_dtype
 
     def _map_back(self, det_boxes, det_labels, det_scores, size) -> dict:
         """Map detections from the staged square back to original resolution

@@ -28,7 +28,7 @@ import numpy as np
 
 from construction_clip_tpu.models.detection import (
     ANCHOR_SIZES, ASPECT_RATIOS, IMAGE_MEAN, IMAGE_STD, box_iou, level_anchors,
-    resnet_pyramid, fpn_forward, roi_align, decode_boxes)
+    resnet_pyramid, fpn_forward, roi_align_multilevel, decode_boxes)
 
 
 def encode_boxes(boxes, anchors):
@@ -89,14 +89,26 @@ class DetectionBatch(NamedTuple):
     gt_labels: jax.Array  # [B, max_gt] int32, 0 = padding
 
 
+def _pyramid_fp32(params, x, compute_dtype):
+    """Backbone + FPN in `compute_dtype` (bf16 = mixed precision: fp32 master
+    params cast at use, fp32 feature maps out so every downstream loss/box
+    term is numerically unchanged; autodiff through the casts yields fp32
+    grads). None/fp32 = the bit-parity path the torchvision tests pin."""
+    if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
+        cast = lambda t: jax.tree.map(lambda z: z.astype(compute_dtype), t)
+        c = resnet_pyramid(cast(params["backbone"]), x.astype(compute_dtype))
+        p = fpn_forward(cast(params["fpn"]), c)
+        return [f.astype(jnp.float32) for f in p]
+    return fpn_forward(params["fpn"], resnet_pyramid(params["backbone"], x))
+
+
 def detection_loss(params, batch: DetectionBatch, key, *, image_size: int,
-                   num_classes: int):
+                   num_classes: int, compute_dtype=None):
     """Full-model loss for one step: mean over the batch of RPN + ROI losses.
     ROI head trains on gt boxes as proposals (clean-proposal regime — simple and
     stable for few-class fine-tunes; proposal mixing can be added later)."""
     x = (batch.images - jnp.asarray(IMAGE_MEAN)) / jnp.asarray(IMAGE_STD)
-    c_feats = resnet_pyramid(params["backbone"], x)
-    p_feats = fpn_forward(params["fpn"], c_feats)
+    p_feats = _pyramid_fp32(params, x, compute_dtype)
 
     anchors = jnp.concatenate([
         level_anchors(f.shape[1], f.shape[2], 4 * (2 ** lvl), ANCHOR_SIZES[lvl])
@@ -139,10 +151,8 @@ def detection_loss(params, batch: DetectionBatch, key, *, image_size: int,
         ph = jnp.clip(gt_boxes[:, 3] - gt_boxes[:, 1], 1e-6)
         lvl = jnp.clip(jnp.floor(4 + jnp.log2(jnp.sqrt(pw * ph) / 224 + 1e-6)),
                        2, 5).astype(jnp.int32) - 2
-        pooled = jnp.zeros((max_gt, 7, 7, p_feats[0].shape[-1]))
-        for l in range(4):
-            fl = roi_align(p_feats_img[l], gt_boxes, spatial_scale=1.0 / (4 * 2 ** l))
-            pooled = jnp.where((lvl == l)[:, None, None, None], fl, pooled)
+        pooled = roi_align_multilevel(list(p_feats_img)[:4], gt_boxes, lvl,
+                                      strides=(4, 8, 16, 32))
         flat = pooled.transpose(0, 3, 1, 2).reshape(max_gt, -1)
         h6 = jax.nn.relu(flat @ params["box_head"]["fc6"]["w"] + params["box_head"]["fc6"]["b"])
         h7 = jax.nn.relu(h6 @ params["box_head"]["fc7"]["w"] + params["box_head"]["fc7"]["b"])
@@ -176,7 +186,8 @@ ROI_BOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)  # torchvision BoxCoder default
 
 def tv_detection_losses(params, image, gt_boxes, gt_labels, *, image_size: int,
                         num_classes: int, pre_nms_topk: int = 2000,
-                        post_nms_topk: int = 2000, rpn_nms_candidates: int = 2000):
+                        post_nms_topk: int = 2000, rpn_nms_candidates: int = 2000,
+                        compute_dtype=None):
     """Torchvision-faithful training losses for ONE image: the exact four terms
     `fasterrcnn_resnet50_fpn(...).forward(images, targets)` returns in train
     mode — {loss_objectness, loss_rpn_box_reg, loss_classifier, loss_box_reg} —
@@ -205,8 +216,7 @@ def tv_detection_losses(params, image, gt_boxes, gt_labels, *, image_size: int,
                                                         IMAGE_MEAN, IMAGE_STD)
 
     x = (image - jnp.asarray(IMAGE_MEAN)) / jnp.asarray(IMAGE_STD)
-    c_feats = resnet_pyramid(params["backbone"], x[None])
-    p_feats = fpn_forward(params["fpn"], c_feats)
+    p_feats = _pyramid_fp32(params, x[None], compute_dtype)
     gt_valid = gt_labels > 0
 
     # ---- RPN heads over all levels (anchor-ordered, pre-topk)
@@ -260,10 +270,8 @@ def tv_detection_losses(params, image, gt_boxes, gt_labels, *, image_size: int,
     ph = jnp.clip(rois[:, 3] - rois[:, 1], 1e-6)
     lvl_assign = jnp.clip(jnp.floor(4 + jnp.log2(jnp.sqrt(pw * ph) / 224 + 1e-6)),
                           2, 5).astype(jnp.int32) - 2
-    pooled = jnp.zeros((rois.shape[0], 7, 7, p_feats[0].shape[-1]))
-    for l in range(4):
-        fl = roi_align(p_feats[l][0], rois, spatial_scale=1.0 / (4 * 2 ** l))
-        pooled = jnp.where((lvl_assign == l)[:, None, None, None], fl, pooled)
+    pooled = roi_align_multilevel([p_feats[l][0] for l in range(4)], rois,
+                                  lvl_assign, strides=(4, 8, 16, 32))
     flat = pooled.transpose(0, 3, 1, 2).reshape(rois.shape[0], -1)
     h6 = jax.nn.relu(flat @ params["box_head"]["fc6"]["w"] + params["box_head"]["fc6"]["b"])
     h7 = jax.nn.relu(h6 @ params["box_head"]["fc7"]["w"] + params["box_head"]["fc7"]["b"])
@@ -292,7 +300,8 @@ def tv_detection_losses(params, image, gt_boxes, gt_labels, *, image_size: int,
 
 def make_detection_train_step(tx, *, image_size: int, num_classes: int,
                               mesh=None, tv_faithful: bool = False,
-                              tv_post_nms_topk: int = 512):
+                              tv_post_nms_topk: int = 512,
+                              compute_dtype=None):
     """Single-device by default; with a mesh whose "data" axis > 1, the batch
     shards over chips (shard_map) with pmean'd grads/loss — same DP recipe as
     train/contrastive.py (per-image losses are independent, so DP mean == the
@@ -312,7 +321,8 @@ def make_detection_train_step(tx, *, image_size: int, num_classes: int,
         losses = [tv_detection_losses(
             p, batch.images[i], batch.gt_boxes[i], batch.gt_labels[i],
             image_size=image_size, num_classes=num_classes,
-            pre_nms_topk=tv_post_nms_topk * 2, post_nms_topk=tv_post_nms_topk)
+            pre_nms_topk=tv_post_nms_topk * 2, post_nms_topk=tv_post_nms_topk,
+            compute_dtype=compute_dtype)
             for i in range(batch.images.shape[0])]
         return jnp.mean(jnp.stack([sum(l.values()) for l in losses]))
 
@@ -326,7 +336,8 @@ def make_detection_train_step(tx, *, image_size: int, num_classes: int,
         else:
             loss_fn = lambda p: detection_loss(p, batch, keys,
                                                image_size=image_size,
-                                               num_classes=num_classes)
+                                               num_classes=num_classes,
+                                               compute_dtype=compute_dtype)
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         if n_data > 1:
             grads = jax.lax.pmean(grads, DATA_AXIS)

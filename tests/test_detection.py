@@ -132,6 +132,56 @@ def test_end_to_end_infer_contract(rng):
     assert (np.diff(s) <= 1e-6).all()  # sorted desc
 
 
+def test_roi_align_multilevel_matches_per_level_select(rng):
+    """roi_align_multilevel (one flat gather, each box at its own level) ==
+    the per-level roi_align + lvl_assign select it replaced (which pooled
+    every box at every level and masked 3/4 away — 119.6 of 154 ms of b=8
+    inference, tools/attr_detection.py)."""
+    from construction_clip_tpu.models.detection import roi_align_multilevel
+
+    C = 8
+    feats = [jnp.asarray(rng.random((s, s, C)).astype(np.float32))
+             for s in (64, 32, 16, 8)]
+    strides = (4, 8, 16, 32)
+    n = 25
+    boxes = rng.random((n, 4)).astype(np.float32) * 200
+    boxes[:, 2:] = boxes[:, :2] + 8 + rng.random((n, 2)).astype(np.float32) * 100
+    boxes = jnp.asarray(boxes)
+    lvl = jnp.asarray(rng.integers(0, 4, n), jnp.int32)
+
+    ml = roi_align_multilevel(feats, boxes, lvl, strides=strides)
+
+    ref = jnp.zeros((n, 7, 7, C))
+    for l in range(4):
+        fl = roi_align(feats[l], boxes, spatial_scale=1.0 / strides[l])
+        ref = jnp.where((lvl == l)[:, None, None, None], fl, ref)
+    np.testing.assert_allclose(np.asarray(ml), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_infer_bf16_compute_contract(rng):
+    """compute_dtype=bf16 (the serving configuration — backbone/FPN/heads on
+    the MXU in bf16, ALL box arithmetic upcast to fp32) returns the same
+    fixed-size fp32 contract. Random weights amplify bf16 rounding through 50
+    conv layers, so this pins structure, dtypes, and validity — score/box
+    parity is a trained-weight property (same argument as the int8 caption
+    agreement note, tools/bench_serve.py)."""
+    params = init_fasterrcnn(jax.random.key(0), num_classes=8)
+    img = jnp.asarray(rng.random((224, 224, 3)).astype(np.float32))
+    det = fasterrcnn_infer(params, img, image_size=224, pre_nms_topk=100,
+                           post_nms_topk=50, detections_per_img=10,
+                           compute_dtype=jnp.bfloat16)
+    assert det.boxes.dtype == jnp.float32
+    assert det.scores.dtype == jnp.float32
+    assert det.boxes.shape == (10, 4)
+    assert np.isfinite(np.asarray(det.boxes)).all()
+    b = np.asarray(det.boxes)
+    assert (b >= 0).all() and (b <= 224).all()
+    s = np.asarray(det.scores)
+    assert (s >= 0).all() and (s <= 1).all()
+    assert (np.diff(s) <= 1e-6).all()
+
+
 def _synthetic_tv_state_dict(seed: int = 3):
     """Torchvision-named fasterrcnn_resnet50_fpn state dict (new
     Conv2dNormActivation naming) with random weights — the offline stand-in for

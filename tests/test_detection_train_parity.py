@@ -148,3 +148,47 @@ def test_tv_training_loss_parity():
               "loss_box_reg"):
         np.testing.assert_allclose(float(ours[k]), ref[k], rtol=2e-3, atol=2e-4,
                                    err_msg=k)
+
+
+def test_tv_loss_bf16_backbone_trains():
+    """compute_dtype=bf16 (mixed precision: fp32 master params, bf16 backbone
+    compute, fp32 feature maps and losses) produces finite losses in the same
+    ballpark as fp32 and nonzero fp32 gradients through the cast. Exact parity
+    is fp32-only (the torchvision contract above)."""
+    import jax
+
+    from construction_clip_tpu.train.detection import (DetectionBatch,
+                                                       detection_loss)
+
+    sd = _synthetic_tv_state_dict(seed=3)
+    params = from_torchvision_state_dict(sd, num_classes=8)
+    rng = np.random.default_rng(11)
+    img = rng.random((IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.float32)
+    pb = jnp.asarray([[6.0, 8.0, 30.0, 28.0], [20.0, 34.0, 58.0, 60.0],
+                      [0.0, 0.0, 0.0, 0.0]], jnp.float32)
+    pl = jnp.asarray([2, 5, 0], jnp.int32)
+
+    f32 = tv_detection_losses(params, jnp.asarray(img), pb, pl,
+                              image_size=IMAGE_SIZE, num_classes=8,
+                              pre_nms_topk=PRE_NMS, post_nms_topk=POST_NMS)
+    b16 = tv_detection_losses(params, jnp.asarray(img), pb, pl,
+                              image_size=IMAGE_SIZE, num_classes=8,
+                              pre_nms_topk=PRE_NMS, post_nms_topk=POST_NMS,
+                              compute_dtype=jnp.bfloat16)
+    for k, v in b16.items():
+        assert np.isfinite(float(v)), k
+        assert float(v) <= 10 * float(f32[k]) + 1.0, (k, float(v), float(f32[k]))
+
+    batch = DetectionBatch(images=jnp.asarray(img)[None],
+                           gt_boxes=pb[None], gt_labels=pl[None])
+
+    def loss_fn(p):
+        return detection_loss(p, batch, jax.random.key(0),
+                              image_size=IMAGE_SIZE, num_classes=8,
+                              compute_dtype=jnp.bfloat16)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    g = grads["backbone"]["stem"]["conv"]
+    assert g.dtype == jnp.float32  # master-weight grads stay fp32
+    assert float(jnp.abs(g).max()) > 0

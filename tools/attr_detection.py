@@ -65,6 +65,10 @@ def bench(name, fn, *args, windows=5, iters=3):
 full = jax.jit(jax.vmap(functools.partial(det.fasterrcnn_infer, image_size=S,
                                           num_classes=C), in_axes=(None, 0)))
 bench("infer_full", full, params, imgs)
+full_bf16 = jax.jit(jax.vmap(functools.partial(
+    det.fasterrcnn_infer, image_size=S, num_classes=C,
+    compute_dtype=jnp.bfloat16), in_axes=(None, 0)))
+bench("infer_full_bf16", full_bf16, params, imgs)
 
 
 def backbone_fpn(p, im):
@@ -72,8 +76,30 @@ def backbone_fpn(p, im):
     return det.fpn_forward(p["fpn"], det.resnet_pyramid(p["backbone"], x[None]))
 
 
-bench("infer_backbone_fpn", jax.jit(jax.vmap(backbone_fpn, in_axes=(None, 0))),
+# NOTE: stage isolates REDUCE their outputs in-jit. Returning the raw FPN
+# pyramid ([8,128,128,256] fp32 = 134 MB) times the ~30 MB/s tunnel D2H, not
+# the compute — the first run of this tool measured 1304 ms for a stage of a
+# 154 ms program that way.
+def backbone_fpn_sum(p, im):
+    return sum(f.astype(jnp.float32).sum() for f in backbone_fpn(p, im))
+
+
+bench("infer_backbone_fpn", jax.jit(jax.vmap(backbone_fpn_sum, in_axes=(None, 0))),
       params, imgs)
+
+
+def backbone_fpn_bf16_sum(p, im):
+    cast = lambda t: jax.tree.map(lambda z: z.astype(jnp.bfloat16), t)
+    p = {"backbone": cast(p["backbone"]), "fpn": cast(p["fpn"])}
+    im = im.astype(jnp.bfloat16)
+    x = (im - jnp.asarray(det.IMAGE_MEAN, im.dtype)) \
+        / jnp.asarray(det.IMAGE_STD, im.dtype)  # keep normalize in bf16 too
+    feats = det.fpn_forward(p["fpn"], det.resnet_pyramid(p["backbone"], x[None]))
+    return sum(f.astype(jnp.float32).sum() for f in feats)
+
+
+bench("infer_backbone_fpn_bf16",
+      jax.jit(jax.vmap(backbone_fpn_bf16_sum, in_axes=(None, 0))), params, imgs)
 
 # p_feats at this shape, reused by the isolated stages
 p_feats = jax.jit(jax.vmap(backbone_fpn, in_axes=(None, 0)))(params, imgs)
@@ -126,7 +152,21 @@ def roialign_stage(feats, props):
 
 
 bench("infer_roialign", jax.jit(jax.vmap(
-    lambda props, *feats: roialign_stage(feats, props),
+    lambda props, *feats: roialign_stage(feats, props).sum(),  # reduce in-jit
+    in_axes=(0,) + (0,) * 5)), proposals, *p_feats)
+
+
+def roialign_ml(props, feats):
+    pw = jnp.clip(props[:, 2] - props[:, 0], 1e-6)
+    ph = jnp.clip(props[:, 3] - props[:, 1], 1e-6)
+    lvl_assign = jnp.clip(jnp.floor(4 + jnp.log2(jnp.sqrt(pw * ph) / 224 + 1e-6)),
+                          2, 5).astype(jnp.int32) - 2
+    return det.roi_align_multilevel([f[0] for f in feats[:4]], props,
+                                    lvl_assign, strides=(4, 8, 16, 32)).sum()
+
+
+bench("infer_roialign_multilevel", jax.jit(jax.vmap(
+    lambda props, *feats: roialign_ml(props, feats),
     in_axes=(0,) + (0,) * 5)), proposals, *p_feats)
 
 pooled_in = jnp.asarray(rng.random((B, 300, 7, 7, 256)), jnp.float32)
@@ -170,11 +210,11 @@ gt_boxes = jnp.tile(jnp.asarray([[32.0, 32.0, 200.0, 200.0],
 gt_labels = jnp.ones((B, 2), jnp.int32)
 
 
-def tv_step(post):
+def tv_step(post, cd=None):
     def loss_fn(p):
         def one(im, gb, gl):
             t = tv_detection_losses(p, im, gb, gl, image_size=S, num_classes=C,
-                                    post_nms_topk=post)
+                                    post_nms_topk=post, compute_dtype=cd)
             return sum(t.values())
         return jnp.mean(jax.vmap(one)(imgs, gt_boxes, gt_labels))
     return jax.jit(jax.grad(loss_fn))
@@ -182,6 +222,8 @@ def tv_step(post):
 
 for post in (2000, 512, 300):
     bench(f"tv_fwdbwd_post{post}", tv_step(post), params, windows=3, iters=2)
+bench("tv_fwdbwd_post512_bf16", tv_step(512, jnp.bfloat16), params,
+      windows=3, iters=2)
 
 tx = make_adamw(1e-4, warmup_steps=0, total_steps=100)
 step = make_detection_train_step(tx, image_size=S, num_classes=C, mesh=None)
@@ -190,8 +232,15 @@ batch = DetectionBatch(images=imgs, gt_boxes=gt_boxes, gt_labels=gt_labels)
 key = jax.random.key(1)
 
 
+# step donates its state arg (donate_argnums=(0,)): thread the new state
+# through or the second call reads a deleted buffer (InvalidArgument)
+_state = [state]
+
+
 def fast_step():
-    return step(state, batch, key)[1]["loss"]
+    new_state, aux = step(_state[0], batch, key)
+    _state[0] = new_state
+    return aux["loss"]
 
 
 bench("fast_step", fast_step, windows=3, iters=2)
