@@ -95,6 +95,25 @@ def main():
     put_rate(results, f"det_infer_img_s_b{B}", st, B)
     log(f"detection inference b={B}: {st[0]*1e3:.1f} ms ({B/st[0]:.1f} img/s)")
 
+    # bf16 compute (the JaxDetector serving default on TPU): backbone/heads
+    # on the MXU in bf16, box arithmetic fp32 (models/detection.py round 4)
+    import jax.numpy as jnp
+
+    fwd16 = jax.jit(jax.vmap(
+        functools.partial(fasterrcnn_infer, image_size=S, num_classes=C,
+                          compute_dtype=jnp.bfloat16),
+        in_axes=(None, 0)))
+
+    def infer16():
+        return fwd16(params, imgs)
+
+    infer16()
+    st = timed_windows(infer16, windows=5, iters=3, warmup=3,
+                       sync=lambda o: np.asarray(jax.tree.leaves(o)[0]))
+    put_ms(results, f"det_infer_bf16_ms_b{B}", st, ndigits=1)
+    put_rate(results, f"det_infer_bf16_img_s_b{B}", st, B)
+    log(f"detection inference bf16 b={B}: {st[0]*1e3:.1f} ms ({B/st[0]:.1f} img/s)")
+
     print(json.dumps(results))
 
 

@@ -25,6 +25,8 @@ BENCHES = [
     ("vitl", [sys.executable, os.path.join(REPO, "tools/bench_vitl.py")]),
     ("detection", [sys.executable, os.path.join(REPO, "tools/bench_detection.py")]),
     ("serve", [sys.executable, os.path.join(REPO, "tools/bench_serve.py")]),
+    ("serve_detector", [sys.executable, os.path.join(REPO, "tools/bench_serve.py"),
+                        "--detector"]),
 ]
 
 

@@ -79,7 +79,9 @@ def render_readme(snap) -> str:
          f"train {c('detection', 'det_step_ms_b8_fast', 'ms/step')} fast loss / "
          f"{c('detection', 'det_step_ms_b8_tv_faithful', 'ms/step')} "
          "torchvision-faithful; inference "
-         f"{c('detection', 'det_infer_img_s_b8', 'img/s')}",
+         f"{c('detection', 'det_infer_img_s_b8', 'img/s')} fp32"
+         + (f" / {c('detection', 'det_infer_bf16_img_s_b8', 'img/s')} bf16"
+            if "det_infer_bf16_img_s_b8" in (snap.get("detection") or {}) else ""),
          "torchvision fasterrcnn_resnet50_fpn (train recipe outside the repo)"),
     ]
     lines = ["| metric | this framework (1x v5e chip) | reference |", "|---|---|---|"]
@@ -143,7 +145,9 @@ def render_baseline(snap) -> str:
         ("Faster R-CNN train + inference (512 px, b=8)",
          f"step {c('detection', 'det_step_ms_b8_fast', 'ms')} fast loss / "
          f"{c('detection', 'det_step_ms_b8_tv_faithful', 'ms')} tv-faithful; "
-         f"inference {c('detection', 'det_infer_img_s_b8', 'img/s')}",
+         f"inference {c('detection', 'det_infer_img_s_b8', 'img/s')} fp32"
+         + (f" / {c('detection', 'det_infer_bf16_img_s_b8', 'img/s')} bf16"
+            if "det_infer_bf16_img_s_b8" in (snap.get("detection") or {}) else ""),
          "measure", "`tools/bench_detection.py`"),
         ("Serving (classify→caption, in-process, greedy)",
          f"{c('serve', 'concurrent_req_s_24way', 'req/s')} @ 24-way (p50 "
@@ -154,6 +158,14 @@ def render_baseline(snap) -> str:
             if "int8_concurrent_req_s_24way" in (snap.get("serve") or {}) else ""),
          "≥20 req/s", "`tools/bench_serve.py`"),
     ]
+    if "serve_detector" in snap:
+        rows.append((
+            "Serving FULL reference contract (detect+classify+caption/req)",
+            f"{c('serve_detector', 'concurrent_req_s_24way', 'req/s')} @ 24-way "
+            f"(p50 {c('serve_detector', 'p50_ms', 'ms')}, p99 "
+            f"{c('serve_detector', 'p99_ms', 'ms')}, single-request "
+            f"{c('serve_detector', 'single_request_ms', 'ms')})",
+            "measure", "`tools/bench_serve.py --detector`"))
     lines = ["| Metric | Measured (median [min–max] over ≥5 windows) | Target | Source |",
              "|---|---|---|---|"]
     lines += [f"| {m} | {v} | {t} | {s} |" for m, v, t, s in rows]
