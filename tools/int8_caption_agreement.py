@@ -62,7 +62,8 @@ x = preprocess_batch(imgs, clip_cfg.vision.image_size)
 f_bf = np.asarray(pipe.classify_and_embed(x)[0], np.float32)
 f_i8 = np.asarray(qpipe.classify_and_embed(x)[0], np.float32)
 cos = float(np.mean(np.sum(f_bf * f_i8, -1)
-                    / (np.linalg.norm(f_bf, -1) * np.linalg.norm(f_i8, -1))))
+                    / (np.linalg.norm(f_bf, axis=-1)
+                       * np.linalg.norm(f_i8, axis=-1))))
 
 out_bf = pipe.caption_images(x, use_beam=False)
 out_i8 = qpipe.caption_images(x, use_beam=False)
