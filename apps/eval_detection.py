@@ -31,6 +31,10 @@ def main():
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--min_score", type=float, default=0.0)
     p.add_argument("--out", default=None, help="write the metrics JSON here too")
+    p.add_argument("--precision", default="fp32", choices=["fp32", "bf16", "auto"],
+                   help="detector compute precision: fp32 = torchvision-parity "
+                        "numerics; bf16 = the TPU serving configuration "
+                        "(JaxDetector default on TPU); auto = bf16 on TPU")
     args = p.parse_args()
 
     enable_compilation_cache()
@@ -38,8 +42,11 @@ def main():
     from construction_clip_tpu.serve.detector import JaxDetector
     from construction_clip_tpu.data.pipeline import default_load_image
 
+    import jax.numpy as jnp
+
+    cd = {"fp32": jnp.float32, "bf16": jnp.bfloat16, "auto": None}[args.precision]
     det = JaxDetector(args.checkpoint, num_classes=args.num_classes,
-                      image_size=args.image_size)
+                      image_size=args.image_size, compute_dtype=cd)
 
     with open(args.json_path, encoding="utf-8") as f:
         anns = json.load(f)["annotations"]
