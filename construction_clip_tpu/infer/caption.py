@@ -156,18 +156,21 @@ class CaptionPipeline:
                 "beam decode collapsed on %d/%d rows (empty at max_steps);"
                 " retrying those rows with greedy decode", len(bad),
                 len(captions))
-            idx = jnp.asarray(np.asarray(bad, np.int32))
+            # retry over the FULL batch: a bad-rows-only gather would give a
+            # data-dependent shape (fresh compile per collapsed-row count);
+            # the full-batch greedy is one stable program and ~3x cheaper
+            # than the beam pass that already ran
             g = greedy_decode(self.cap_params["gpt"], self.gcfg,
-                              embeds[idx], max_steps=self.max_steps,
+                              embeds, max_steps=self.max_steps,
                               stop_token=self.stop_token,
                               policy=self.policy)
             gpacked = np.asarray(jnp.concatenate(
                 [g.tokens.astype(jnp.int32),
                  g.lengths[:, None].astype(jnp.int32)], axis=1))
             gcaps = self.decode_to_text(gpacked[:, :-1], gpacked[:, -1])
-            for i, cap, glen in zip(bad, gcaps, gpacked[:, -1]):
-                captions[i] = cap
-                if cap or int(glen) < self.max_steps:
+            for i in bad:
+                captions[i] = gcaps[i]
+                if gcaps[i] or int(gpacked[i, -1]) < self.max_steps:
                     suspect.discard(i)
         if suspect:
             logging.getLogger(__name__).error(
