@@ -256,6 +256,7 @@ def roi_align_multilevel(feats, boxes, lvl_assign, *, strides,
     levels concatenate into one [ΣHW, C] row table and the 4 bilinear corners
     are four [N, K, K] row-gathers with per-box level offsets; interpolation
     weights stay fp32 (sub-pixel coords), values may be bf16."""
+    assert len(feats) == len(strides), (len(feats), len(strides))
     C = feats[0].shape[-1]
     hw = [(f.shape[0], f.shape[1]) for f in feats]
     offs = np.concatenate([[0], np.cumsum([h * w for h, w in hw])]).astype(np.int32)

@@ -95,7 +95,9 @@ def _pyramid_fp32(params, x, compute_dtype):
     term is numerically unchanged; autodiff through the casts yields fp32
     grads). None/fp32 = the bit-parity path the torchvision tests pin."""
     if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
-        cast = lambda t: jax.tree.map(lambda z: z.astype(compute_dtype), t)
+        cast = lambda t: jax.tree.map(
+            lambda z: z.astype(compute_dtype)
+            if jnp.issubdtype(z.dtype, jnp.floating) else z, t)
         c = resnet_pyramid(cast(params["backbone"]), x.astype(compute_dtype))
         p = fpn_forward(cast(params["fpn"]), c)
         return [f.astype(jnp.float32) for f in p]
