@@ -558,3 +558,34 @@ def test_jax_detector_serving_interface(rng):
     wrapped = ThresholdWrapper(det, threshold=2.0)  # impossible threshold
     out = wrapped.detect(img)
     assert out == {"boxes": [], "labels": [], "scores": []}
+
+
+def test_jax_detector_batch_uint8_matches_direct_fp32(rng):
+    """The serving detect_batch path ships UINT8 and casts/scales on device,
+    returning one packed [B,N,6] fetch (serve/detector.py). Pin it against
+    calling fasterrcnn_infer directly on fp32 images: identical boxes/labels/
+    scores through the pack/unpack + original-resolution mapping."""
+    from construction_clip_tpu.serve.detector import JaxDetector
+
+    det = JaxDetector(None, image_size=128)
+    staged = (rng.random((2, 128, 128, 3)) * 255).astype(np.uint8)
+    sizes = [(128, 128), (128, 128)]  # identity mapping back
+
+    got = det.detect_batch(staged, sizes)
+
+    for i in range(2):
+        ref = fasterrcnn_infer(det.params,
+                               jnp.asarray(staged[i], jnp.float32) / 255.0,
+                               image_size=128, num_classes=det.num_classes,
+                               compute_dtype=det.compute_dtype)
+        boxes = np.asarray(ref.boxes)
+        labels = np.asarray(ref.labels)
+        scores = np.asarray(ref.scores)
+        keep = scores > 0
+        assert got[i]["labels"] == [int(l) for l in labels[keep]]
+        # vmap-vs-unbatched XLA conv scheduling drifts fp32 at ~1e-4; the
+        # pack/unpack itself is exact (f32 in, f32 out)
+        np.testing.assert_allclose(got[i]["scores"], scores[keep],
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(got[i]["boxes"], boxes[keep],
+                                   rtol=1e-2, atol=0.25)

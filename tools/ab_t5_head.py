@@ -108,6 +108,9 @@ def make_fn(variant: str, b: int):
                                        preferred_element_type=jnp.float32)
         if variant == "int8":
             return (x @ Wq.astype(jnp.bfloat16)).astype(jnp.float32) * scale
+        if variant == "int8_mxu":
+            from construction_clip_tpu.ops.quant import int8_linear
+            return int8_linear(x, Wq, scale, out_dtype=jnp.float32)
         if variant == "pallas":
             x8 = jnp.pad(x, ((0, 8 - b), (0, 0))) if b < 8 else x
             return _pallas_gemv(x8, W_pad, None)[:b, :V]
@@ -136,7 +139,8 @@ def make_fn(variant: str, b: int):
 results = {"rep": REP, "d": D, "v": V}
 for B in (1, 32):
     x0 = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
-    for variant in ("bf16", "bf16_T", "int8", "pallas", "pallas_int8"):
+    for variant in ("bf16", "bf16_T", "int8", "int8_mxu", "pallas",
+                    "pallas_int8"):
         fn = make_fn(variant, B)
         try:
             np.asarray(fn(x0))  # compile
