@@ -96,6 +96,34 @@ def clipcap_forward(params, ccfg: ClipCapConfig, gcfg: GPT2Config, *,
     return logits
 
 
+def clipcap_forward_pp(params, ccfg: ClipCapConfig, gcfg: GPT2Config, *,
+                       tokens, clip_embed, attribute_tokens, mesh,
+                       microbatches: int,
+                       policy: Policy = DEFAULT_POLICY, remat: bool = False,
+                       dp_axis=None):
+    """clipcap_forward with the GPT-2 block stack PIPELINED over the mesh's
+    "pipe" axis (parallel/pipeline.py): mapper/embeddings/head stay
+    replicated jit ops; only [mb, T, D] activations cross stages. Exactly
+    clipcap_forward's math — same embed path, same block function, same
+    head — so loss/grads match single-device (tests/test_pipeline_parallel)."""
+    from construction_clip_tpu.parallel.pipeline import pipelined_blocks
+
+    prefix = map_prefix(params["mapper"], ccfg, gcfg, clip_embed, policy=policy)
+    attr_emb = gpt2_lib.embed_tokens(params["gpt"], attribute_tokens, policy=policy)
+    tok_emb = gpt2_lib.embed_tokens(params["gpt"], tokens, policy=policy)
+    embeds = jnp.concatenate([prefix.astype(tok_emb.dtype), attr_emb, tok_emb], axis=1)
+
+    # gpt2_forward's uncached preamble (models/gpt2.py): cast, add wpe
+    p = policy.cast_to_compute(params["gpt"])
+    x = embeds.astype(policy.compute_dtype)
+    x = x + p["wpe"][jnp.arange(x.shape[1])]
+    x = pipelined_blocks(p["blocks"], x, None, gcfg, mesh,
+                         microbatches=microbatches, remat=remat,
+                         dp_axis=dp_axis)
+    x = gpt2_lib.layer_norm(x, **p["ln_f"], eps=gcfg.layer_norm_epsilon)
+    return gpt2_lib._lm_logits(p, x)
+
+
 def caption_loss_parts(logits, tokens, ccfg: ClipCapConfig, *, ignore_id: int = 0):
     """(sum of masked token NLL, valid-token count) — pieces of the global
     token-mean CE, kept separate so DP shards can normalize by the GLOBAL

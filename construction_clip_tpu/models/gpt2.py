@@ -208,6 +208,25 @@ def _attn_over_cache(q, ck, cv, cache_len, attn_bias, ancestry=None):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def apply_block_uncached(lp, h, attn_bias, cfg: GPT2Config, *,
+                         return_probs: bool = False):
+    """One pre-norm GPT-2 block on [B, T, D] — the training/uncached math,
+    shared by gpt2_forward's layer scan and the pipeline-parallel stage
+    (parallel/pipeline.py applies a stage's block slice with this exact
+    function so PP is numerically the single-device forward)."""
+    n_heads = cfg.n_head
+    y = layer_norm(h, **lp["ln_1"], eps=cfg.layer_norm_epsilon)
+    qkv = _linear(y, lp["attn"]["c_attn_w"], lp["attn"]["c_attn_b"])
+    q, k, v = (split_heads(z, n_heads) for z in jnp.split(qkv, 3, axis=-1))
+    out, probs = _attn_uncached(q, k, v, attn_bias, return_probs=return_probs)
+    h = h + _linear(merge_heads(out), lp["attn"]["c_proj_w"],
+                    lp["attn"]["c_proj_b"])
+    y = layer_norm(h, **lp["ln_2"], eps=cfg.layer_norm_epsilon)
+    y = gelu_new(_linear(y, lp["mlp"]["c_fc_w"], lp["mlp"]["c_fc_b"]))
+    h = h + _linear(y, lp["mlp"]["c_proj_w"], lp["mlp"]["c_proj_b"])
+    return h, probs
+
+
 def gpt2_forward(
     params,
     cfg: GPT2Config,
@@ -330,17 +349,8 @@ def gpt2_forward(
         return logits, KVCache(k=nk, v=nv, length=cache.length + t)
 
     def body(carry, lp):
-        h = carry
-        y = layer_norm(h, **lp["ln_1"], eps=cfg.layer_norm_epsilon)
-        qkv = _linear(y, lp["attn"]["c_attn_w"], lp["attn"]["c_attn_b"])
-        q, k, v = (split_heads(z, n_heads) for z in jnp.split(qkv, 3, axis=-1))
-        out, probs = _attn_uncached(q, k, v, attn_bias, return_probs=return_probs)
-        h = h + _linear(merge_heads(out), lp["attn"]["c_proj_w"],
-                        lp["attn"]["c_proj_b"])
-        y = layer_norm(h, **lp["ln_2"], eps=cfg.layer_norm_epsilon)
-        y = gelu_new(_linear(y, lp["mlp"]["c_fc_w"], lp["mlp"]["c_fc_b"]))
-        h = h + _linear(y, lp["mlp"]["c_proj_w"], lp["mlp"]["c_proj_b"])
-        return h, probs
+        return apply_block_uncached(lp, carry, attn_bias, cfg,
+                                    return_probs=return_probs)
 
     if remat:
         body = jax.checkpoint(body)

@@ -83,3 +83,55 @@ def make_caption_train_step(ccfg: ClipCapConfig, gcfg: GPT2Config, tx, mesh: Mes
                             batch["tokens"], batch["prefix"], batch["attribute"])
 
     return step
+
+
+def shard_clipcap_params_pp(mesh: Mesh, params):
+    """Place a full ClipCap tree for pipeline parallelism: the GPT-2 block
+    stack sharded over the "pipe" axis on its leading layer dim (stage s owns
+    layers [s*L/S, (s+1)*L/S)); mapper/embeddings/head replicated."""
+    from construction_clip_tpu.parallel.pipeline import PIPE_AXIS
+
+    def place(path, x):
+        keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        spec = P(PIPE_AXIS) if "blocks" in keys else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def make_caption_train_step_pp(ccfg: ClipCapConfig, gcfg: GPT2Config, tx,
+                               mesh: Mesh, *, microbatches: int,
+                               policy: Policy = DEFAULT_POLICY,
+                               remat: bool = False):
+    """Pipeline-parallel caption train step (full fine-tune): the GPT-2 block
+    stack is stage-sharded over mesh axis "pipe" and driven by the GPipe
+    microbatch schedule (parallel/pipeline.py); everything else (mapper,
+    embeddings, head, loss, AdamW) runs replicated under GSPMD, composing
+    with a "data" axis for PP x DP. Numerically equal to the single-device
+    step (tests/test_pipeline_parallel.py).
+
+    state.params must be the FULL {"mapper","gpt"} tree placed by
+    shard_clipcap_params_pp(mesh, params) before TrainState.create (opt m/v
+    then inherit the stage shardings via zeros_like).
+    """
+    from construction_clip_tpu.models.clipcap.model import clipcap_forward_pp
+
+    dp_axis = DATA_AXIS if mesh.shape.get(DATA_AXIS, 1) > 1 else None
+
+    def loss_fn(params, batch):
+        logits = clipcap_forward_pp(
+            params, ccfg, gcfg, tokens=batch["tokens"],
+            clip_embed=batch["prefix"], attribute_tokens=batch["attribute"],
+            mesh=mesh, microbatches=microbatches, policy=policy, remat=remat,
+            dp_axis=dp_axis)
+        total, count = caption_loss_parts(logits, batch["tokens"], ccfg)
+        # one jit program over the global batch: GSPMD turns these sums into
+        # cross-device reductions — the global token-mean objective directly
+        return total / jnp.maximum(count, 1.0)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        return apply_gradients(state, grads, tx), {"loss": loss}
+
+    return step
