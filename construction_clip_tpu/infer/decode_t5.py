@@ -32,7 +32,15 @@ def t5_generate(params, tcfg: T5Config, encoder_hidden, *, key=None,
     # is a dtype-identity no-op XLA folds away. Without this the loop re-casts
     # the 250112x512 shared table + lm_head (~1 GB fp32 read + bf16 write)
     # every step — measured 2.6x over the dispatch floor at B=1.
-    params = policy.cast_to_compute(params)
+    from construction_clip_tpu.models.t5 import _cast_params, prepare_decode_head
+    from construction_clip_tpu.ops.pallas_vocab_head import MAX_ROWS
+    params = _cast_params(params, policy)
+    if b <= MAX_ROWS:
+        # pad the LM head for the streaming decode kernel ONLY when the
+        # small-B kernel path is live: at larger B the head runs as the
+        # plain XLA GEMM, and padding it measured a B=32 regression
+        # (43.3k -> 36.4k tok/s) for zero benefit
+        params = prepare_decode_head(params, tcfg)
     cache = t5_init_cache(params, tcfg, encoder_hidden, max_len=max_steps + 1,
                           policy=policy)
     logits, cache = t5_decode(params, tcfg, jnp.full((b, 1), start_id, jnp.int32),

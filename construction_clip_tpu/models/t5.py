@@ -159,7 +159,7 @@ def _ffn(x, fp):
 def t5_encode(params, cfg: T5Config, input_ids=None, *, inputs_embeds=None,
               attention_mask=None, policy: Policy = DEFAULT_POLICY):
     """-> encoder hidden states [B, T, d_model]."""
-    p = policy.cast_to_compute(params)
+    p = _cast_params(params, policy)
     x = p["shared"][input_ids] if inputs_embeds is None else \
         inputs_embeds.astype(policy.compute_dtype)
     t = x.shape[1]
@@ -193,7 +193,7 @@ class T5Cache(NamedTuple):
 
 def t5_init_cache(params, cfg: T5Config, encoder_hidden, max_len: int,
                   *, policy: Policy = DEFAULT_POLICY) -> T5Cache:
-    p = policy.cast_to_compute(params)
+    p = _cast_params(params, policy)
     b = encoder_hidden.shape[0]
     h, dk = cfg.num_heads, cfg.d_kv
 
@@ -216,7 +216,7 @@ def t5_decode(params, cfg: T5Config, decoder_input_ids, encoder_hidden, *,
               policy: Policy = DEFAULT_POLICY):
     """Teacher-forced (cache=None) or incremental (cache) decoding.
     Returns (logits [B,T,V], new_cache|None)."""
-    p = policy.cast_to_compute(params)
+    p = _cast_params(params, policy)
     x = p["shared"][decoder_input_ids]
     b, t = decoder_input_ids.shape
     h, dk = cfg.num_heads, cfg.d_kv
@@ -330,8 +330,85 @@ def t5_decode(params, cfg: T5Config, decoder_input_ids, encoder_hidden, *,
         x = x * (cfg.d_model ** -0.5)
         logits = (x @ p["shared"].T).astype(jnp.float32)
     else:
-        logits = (x @ p["lm_head"]).astype(jnp.float32)
+        logits = _head_logits(p["lm_head"], x, cfg.vocab_size,
+                              cached_step=cache is not None and t == 1)
     return logits, new_cache
+
+
+def _head_logits(head, x, vocab: int, *, cached_step: bool):
+    """LM-head projection with the decode-step fast path.
+
+    head: [D, V>=vocab] table (possibly pre-padded by prepare_decode_head),
+    or {"q": int8, "s": f32} from quantize_t5_head. On TPU cached
+    single-token steps at small B the streaming Pallas GEMV reads the table
+    at its HBM roofline (ops/pallas_vocab_head.py; the 250112-vocab read is
+    62% of the B=1 step — BASELINE.md "mT5 B=1 decode floor"); everywhere
+    else XLA's GEMM wins. Output is always sliced to [.., vocab] so padded
+    columns (logit 0) can never win the argmax.
+    """
+    import jax as _jax
+
+    quant = isinstance(head, dict)
+    table = head["q"] if quant else head
+    scale = head["s"] if quant else None
+    b = x.shape[0]
+    if cached_step and _jax.default_backend() == "tpu":
+        from construction_clip_tpu.ops import pallas_vocab_head as pvh
+
+        if pvh.supported(b, table):
+            return pvh.vocab_head_logits(x[:, 0], table,
+                                         scale)[:, None, :vocab]
+    if quant:
+        # dequant folded into the dot epilogue: the read stays int8 bytes
+        # (A/B: beats the bf16 table at B=32 too — tools/ab_t5_head.py)
+        return (((x @ table.astype(x.dtype)).astype(jnp.float32)
+                 * scale.astype(jnp.float32))[..., :vocab])
+    return (x @ table).astype(jnp.float32)[..., :vocab]
+
+
+def prepare_decode_head(params, cfg: T5Config):
+    """One-time decode-loop prep (call OUTSIDE the step loop, after the
+    policy cast — infer/decode_t5.t5_generate does): on TPU, zero-pad the
+    untied LM head to the streaming kernel's preferred 2048-lane tile.
+    mT5's 250112 vocab only tiles at 256 lanes raw (977 grid programs,
+    0.888 ms/apply); padded to 123x2048 it runs 0.700 vs 0.960 for XLA
+    (tools/ab_t5_head.py, B=1). _head_logits slices logits back to
+    cfg.vocab_size, so the padding is invisible to sampling."""
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu" or cfg.tie_word_embeddings \
+            or "lm_head" not in params:
+        return params
+    from construction_clip_tpu.ops.pallas_vocab_head import TILE, pad_to_tile
+
+    head = params["lm_head"]
+    if isinstance(head, dict):
+        q, s = pad_to_tile(head["q"], head["s"], TILE)
+        return dict(params, lm_head={"q": q, "s": s})
+    table, _ = pad_to_tile(head, None, TILE)
+    return dict(params, lm_head=table)
+
+
+def quantize_t5_head(params):
+    """Weight-only int8 LM head (serving config, the models/gpt2.quantize_gpt2
+    pattern): halves the 256 MB-per-step table read that dominates B=1 decode.
+    Only meaningful for untied heads (mt5-small is untied — models/t5.py:15)."""
+    from construction_clip_tpu.ops.quant import quantize_weight
+
+    if "lm_head" not in params:
+        raise ValueError("quantize_t5_head: params have no untied lm_head")
+    q, s = quantize_weight(params["lm_head"], axis=0)
+    return dict(params, lm_head={"q": q, "s": s})
+
+
+def _cast_params(params, policy: Policy):
+    """policy.cast_to_compute that leaves a quantized lm_head intact (int8
+    table uncast by design; the f32 scale must NOT be rounded to bf16)."""
+    if isinstance(params.get("lm_head"), dict):
+        head = params["lm_head"]
+        rest = {k: v for k, v in params.items() if k != "lm_head"}
+        return dict(policy.cast_to_compute(rest), lm_head=head)
+    return policy.cast_to_compute(params)
 
 
 def t5_forward(params, cfg: T5Config, *, input_ids=None, inputs_embeds=None,

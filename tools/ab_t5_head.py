@@ -64,9 +64,10 @@ scale_pad = jnp.pad(scale, (0, VPAD - V))
 INTERPRET = os.environ.get("AB_INTERPRET", "") == "1"  # CPU parity checks
 
 
-def _pallas_gemv(x8, table, scale_or_none):
-    """x8: [8, D] (B padded to one sublane tile); table: [D, VPAD] bf16|int8.
-    Returns [8, VPAD] f32 logits. One V tile per program; K resident."""
+def _pallas_gemv(x8, table, scale_or_none, vt: int = VT):
+    """x8: [8, D] (B padded to one sublane tile); table: [D, Vp] bf16|int8,
+    Vp % vt == 0. Returns [8, Vp] f32 logits. One V tile per program; K
+    resident."""
     from jax.experimental import pallas as pl
 
     int8 = table.dtype == jnp.int8
@@ -84,46 +85,71 @@ def _pallas_gemv(x8, table, scale_or_none):
             o_ref[...] = acc
 
     rows = x8.shape[0]
+    vp = table.shape[1]
     in_specs = [pl.BlockSpec((rows, D), lambda j: (0, 0)),
-                pl.BlockSpec((D, VT), lambda j: (0, j))]
+                pl.BlockSpec((D, vt), lambda j: (0, j))]
     args = [x8, table]
     if int8:
-        in_specs.append(pl.BlockSpec((1, VT), lambda j: (0, j)))
+        in_specs.append(pl.BlockSpec((1, vt), lambda j: (0, j)))
         args.append(scale_or_none[None, :])
     return pl.pallas_call(
-        kernel, grid=(VPAD // VT,),
+        kernel, grid=(vp // vt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((rows, VT), lambda j: (0, j)),
-        out_shape=jax.ShapeDtypeStruct((rows, VPAD), jnp.float32),
+        out_specs=pl.BlockSpec((rows, vt), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((rows, vp), jnp.float32),
         interpret=INTERPRET,
     )(*args)
 
 
+# tables are passed as JIT ARGUMENTS, never closed over: axon remote-compiles
+# via HTTP and closure constants inline the 256 MB table into the program
+# (rejected/minutes-slow upload — verify skill "never close over large arrays")
+TABLES = {
+    "bf16": (W,),
+    "bf16_T": (W_T,),
+    "int8": (Wq, scale),
+    "int8_mxu": (Wq, scale),
+    "pallas": (W_pad,),
+    "pallas_int8": (Wq_pad, scale_pad),
+    # unpadded tiles: 256 is the largest lane-multiple divisor of 250112 —
+    # if it streams like VT=2048, integration needs no padded table copy
+    "pallas_vt256": (W,),
+    "pallas_i8_vt256": (Wq, scale),
+}
+
+
 def make_fn(variant: str, b: int):
-    def head(x):
+    def head(x, tabs):
         if variant == "bf16":
-            return (x @ W).astype(jnp.float32)
+            return (x @ tabs[0]).astype(jnp.float32)
         if variant == "bf16_T":
-            return jax.lax.dot_general(x, W_T, (((1,), (1,)), ((), ())),
+            return jax.lax.dot_general(x, tabs[0], (((1,), (1,)), ((), ())),
                                        preferred_element_type=jnp.float32)
         if variant == "int8":
-            return (x @ Wq.astype(jnp.bfloat16)).astype(jnp.float32) * scale
+            return (x @ tabs[0].astype(jnp.bfloat16)).astype(jnp.float32) \
+                * tabs[1]
         if variant == "int8_mxu":
             from construction_clip_tpu.ops.quant import int8_linear
-            return int8_linear(x, Wq, scale, out_dtype=jnp.float32)
+            return int8_linear(x, tabs[0], tabs[1], out_dtype=jnp.float32)
         if variant == "pallas":
             x8 = jnp.pad(x, ((0, 8 - b), (0, 0))) if b < 8 else x
-            return _pallas_gemv(x8, W_pad, None)[:b, :V]
+            return _pallas_gemv(x8, tabs[0], None)[:b, :V]
         if variant == "pallas_int8":
             x8 = jnp.pad(x, ((0, 8 - b), (0, 0))) if b < 8 else x
-            return _pallas_gemv(x8, Wq_pad, scale_pad)[:b, :V]
+            return _pallas_gemv(x8, tabs[0], tabs[1])[:b, :V]
+        if variant == "pallas_vt256":
+            x8 = jnp.pad(x, ((0, 8 - b), (0, 0))) if b < 8 else x
+            return _pallas_gemv(x8, tabs[0], None, vt=256)[:b]
+        if variant == "pallas_i8_vt256":
+            x8 = jnp.pad(x, ((0, 8 - b), (0, 0))) if b < 8 else x
+            return _pallas_gemv(x8, tabs[0], tabs[1], vt=256)[:b]
         raise ValueError(variant)
 
     @jax.jit
-    def run(x0):
+    def run(x0, *tabs):
         def body(i, carry):
             x, acc = carry
-            logits = head(x.astype(jnp.bfloat16))
+            logits = head(x.astype(jnp.bfloat16), tabs)
             nxt = jnp.argmax(logits, axis=-1)          # [b]
             # feed the result back into x: a real data dependency between
             # iterations, like the decode loop's token -> embedding path
@@ -139,12 +165,16 @@ def make_fn(variant: str, b: int):
 results = {"rep": REP, "d": D, "v": V}
 for B in (1, 32):
     x0 = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
-    for variant in ("bf16", "bf16_T", "int8", "int8_mxu", "pallas",
-                    "pallas_int8"):
+    variants = os.environ.get(
+        "AB_VARIANTS",
+        "bf16,bf16_T,int8,int8_mxu,pallas,pallas_int8,"
+        "pallas_vt256,pallas_i8_vt256").split(",")
+    for variant in variants:
         fn = make_fn(variant, B)
+        tabs = TABLES[variant]
         try:
-            np.asarray(fn(x0))  # compile
-            st = timed_windows(lambda: fn(x0), windows=5, iters=2,
+            np.asarray(fn(x0, *tabs))  # compile
+            st = timed_windows(lambda: fn(x0, *tabs), windows=5, iters=2,
                                warmup=2, sync=np.asarray)
             ms = st[0] * 1e3 / REP
             results[f"b{B}_{variant}_ms"] = round(ms, 4)

@@ -42,6 +42,10 @@ def main():
     STEPS = 32
     results = {}
 
+    from construction_clip_tpu.models.t5 import quantize_t5_head
+
+    qparams = quantize_t5_head(params)  # int8 head serving config
+
     for b in (1, 32):
         # injected encoder states: prefix 20 + attribute-ish 20 tokens of hidden
         enc = jax.random.normal(jax.random.key(1), (b, 40, cfg.d_model),
@@ -52,6 +56,13 @@ def main():
         st = timed_windows(fn, windows=5, iters=5, warmup=2)
         put_rate(results, f"t5_greedy_b{b}_tok_s", st, b * STEPS)
         log(f"t5 greedy b={b}: {st[0]*1e3:.0f} ms -> {b*STEPS/st[0]:.0f} tok/s")
+
+        qfn = lambda: t5_generate(qparams, cfg, enc, max_steps=STEPS,
+                                  do_sample=False, policy=BF16_POLICY)
+        st = timed_windows(qfn, windows=5, iters=5, warmup=2)
+        put_rate(results, f"t5_greedy_int8head_b{b}_tok_s", st, b * STEPS)
+        log(f"t5 greedy int8-head b={b}: {st[0]*1e3:.0f} ms -> "
+            f"{b*STEPS/st[0]:.0f} tok/s")
 
     print(json.dumps(results))
 

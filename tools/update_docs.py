@@ -123,7 +123,8 @@ def render_baseline(snap) -> str:
          "beat the O(n²) loop", "`tools/bench_decode.py`"),
         ("mT5-small caption decode (config 4, max_length 32)",
          f"{c('decode_t5', 't5_greedy_b1_tok_s')} @ B=1, "
-         f"{c('decode_t5', 't5_greedy_b32_tok_s')} @ B=32",
+         f"{c('decode_t5', 't5_greedy_b32_tok_s')} @ B=32; int8 head "
+         f"{c('decode_t5', 't5_greedy_int8head_b1_tok_s')} @ B=1",
          "measure", "`tools/bench_decode_t5.py`"),
         ("Contrastive step time (fwd+bwd+AdamW, symmetric InfoNCE)",
          f"{c('train', 'step_ms_b128', 'ms')} @ b=128 "
