@@ -59,7 +59,9 @@ def render_readme(snap) -> str:
          f"{c('decode', 'greedy_b32_tok_s', 'tok/s')} @ B=32 greedy; "
          f"{c('decode', 'beam3_b8_tok_s', 'tok/s')} beam-3 @ B=8 (lazy "
          "beam-ancestry cache); mT5-small "
-         f"{c('decode_t5', 't5_greedy_b32_tok_s', 'tok/s')} @ B=32",
+         f"{c('decode_t5', 't5_greedy_b32_tok_s', 'tok/s')} @ B=32"
+         + (f" ({c('decode_t5', 't5_greedy_int8head_b32_tok_s', 'tok/s')} int8 head)"
+            if "t5_greedy_int8head_b32_tok_s" in (snap.get("decode_t5") or {}) else ""),
          f"no KV cache: {c('decode', 'reference_style_nocache_b1_tok_s', 'tok/s')} "
          "for the reference's recompute-per-token loop on the SAME chip"),
         ("Contrastive train step (fwd+bwd+AdamW, global-batch InfoNCE)",
@@ -105,6 +107,20 @@ def render_readme(snap) -> str:
            if "int8_concurrent_req_s_24way" in serve else "")
         + ".",
     ]
+    det = snap.get("serve_detector") or {}
+    if det:
+        lines += [
+            "",
+            "Serving the FULL reference contract (Faster R-CNN detect + 2× "
+            "zero-shot classify + caption on EVERY request, the reference's "
+            "actual `POST /predict` work): "
+            f"{c('serve_detector', 'concurrent_req_s_24way', 'req/s')} under "
+            f"24-way concurrency (p50 {_fmt_num(det.get('p50_ms', '—'))} ms, "
+            f"p99 {_fmt_num(det.get('p99_ms', '—'))} ms, single-request "
+            f"{_fmt_num(det.get('single_request_ms', '—'))} ms) — "
+            "`tools/bench_serve.py --detector`; the paragraph above is the "
+            "lighter classify+caption contract.",
+        ]
     return "\n".join(lines)
 
 
@@ -124,7 +140,8 @@ def render_baseline(snap) -> str:
         ("mT5-small caption decode (config 4, max_length 32)",
          f"{c('decode_t5', 't5_greedy_b1_tok_s')} @ B=1, "
          f"{c('decode_t5', 't5_greedy_b32_tok_s')} @ B=32; int8 head "
-         f"{c('decode_t5', 't5_greedy_int8head_b1_tok_s')} @ B=1",
+         f"{c('decode_t5', 't5_greedy_int8head_b1_tok_s')} @ B=1 / "
+         f"{c('decode_t5', 't5_greedy_int8head_b32_tok_s')} @ B=32",
          "measure", "`tools/bench_decode_t5.py`"),
         ("Contrastive step time (fwd+bwd+AdamW, symmetric InfoNCE)",
          f"{c('train', 'step_ms_b128', 'ms')} @ b=128 "
