@@ -560,19 +560,25 @@ def test_jax_detector_serving_interface(rng):
     assert out == {"boxes": [], "labels": [], "scores": []}
 
 
-def test_jax_detector_batch_uint8_matches_direct_fp32(rng):
+def test_jax_detector_batch_uint8_matches_direct_fp32():
     """The serving detect_batch path ships UINT8 and casts/scales on device,
     returning one packed [B,N,6] fetch (serve/detector.py). Pin it against
     calling fasterrcnn_infer directly on fp32 images: identical boxes/labels/
-    scores through the pack/unpack + original-resolution mapping."""
+    scores through the pack/unpack + original-resolution mapping.
+
+    Local fixed-seed generator (not the session rng fixture): the fixture's
+    state depends on suite order, and a draw with zero detections makes the
+    parity vacuous."""
     from construction_clip_tpu.serve.detector import JaxDetector
 
     det = JaxDetector(None, image_size=128)
-    staged = (rng.random((2, 128, 128, 3)) * 255).astype(np.uint8)
+    staged = (np.random.default_rng(567).random((2, 128, 128, 3)) * 255
+              ).astype(np.uint8)
     sizes = [(128, 128), (128, 128)]  # identity mapping back
 
     got = det.detect_batch(staged, sizes)
 
+    any_detection = False
     for i in range(2):
         ref = fasterrcnn_infer(det.params,
                                jnp.asarray(staged[i], jnp.float32) / 255.0,
@@ -587,5 +593,8 @@ def test_jax_detector_batch_uint8_matches_direct_fp32(rng):
         # pack/unpack itself is exact (f32 in, f32 out)
         np.testing.assert_allclose(got[i]["scores"], scores[keep],
                                    rtol=2e-3, atol=2e-4)
-        np.testing.assert_allclose(got[i]["boxes"], boxes[keep],
-                                   rtol=1e-2, atol=0.25)
+        np.testing.assert_allclose(
+            np.asarray(got[i]["boxes"], np.float32).reshape(-1, 4),
+            boxes[keep], rtol=1e-2, atol=0.25)
+        any_detection = any_detection or bool(keep.any())
+    assert any_detection  # at least one image must actually exercise the pack
