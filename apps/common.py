@@ -136,3 +136,33 @@ class HFTokenizerShim:
     def decode(self, ids, skip_special_tokens=True):
         return self._tok.decode(list(int(i) for i in ids),
                                 skip_special_tokens=skip_special_tokens)
+
+    def vocab_size(self) -> int:
+        return self._tok.get_vocab_size()
+
+
+def tokenizer_vocab_size(tok) -> int | None:
+    """Best-effort vocab size of a load_hf_tokenizer result (shim or HF)."""
+    if hasattr(tok, "vocab_size") and callable(tok.vocab_size):
+        return tok.vocab_size()
+    try:
+        return len(tok)  # transformers tokenizers
+    except TypeError:
+        return None
+
+
+def fit_t5_vocab(tcfg, tok):
+    """Grow tcfg.vocab_size (lane-padded to 128) to cover a custom tokenizer.
+
+    A tokenizer larger than the model vocab would silently CLAMP ids under jit
+    in training (XLA gather semantics) and IndexError at host-side inference.
+    Train and predict CLIs both derive the size from the same tokenizer file,
+    so their checkpoints stay shape-compatible."""
+    import dataclasses
+
+    vs = tokenizer_vocab_size(tok)
+    if vs and vs > tcfg.vocab_size:
+        padded = -(-vs // 128) * 128
+        print(f"t5 vocab {tcfg.vocab_size} -> {padded} (tokenizer has {vs} tokens)")
+        return dataclasses.replace(tcfg, vocab_size=padded)
+    return tcfg

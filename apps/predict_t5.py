@@ -12,8 +12,8 @@ import os
 
 import numpy as np
 
-from common import (enable_compilation_cache, load_clip, load_clip_tokenizer,
-                    load_hf_tokenizer)
+from common import (enable_compilation_cache, fit_t5_vocab, load_clip,
+                    load_clip_tokenizer, load_hf_tokenizer)
 
 
 def main():
@@ -22,7 +22,7 @@ def main():
     p.add_argument("--image_root", default="../")
     p.add_argument("--clip_checkpoint", default=None)
     p.add_argument("--arch", default="vit_b_32",
-                   choices=["vit_b_32", "vit_b_16", "vit_l_14", "tiny"])
+                   choices=["vit_b_32", "vit_b_16", "vit_l_14", "tiny", "tiny_bpe"])
     p.add_argument("--clip_bpe", default=None)
     p.add_argument("--caption_checkpoint", default=None, help="npz {mapper,t5}")
     p.add_argument("--tokenizer", default="chinese_bpe.json")
@@ -54,6 +54,7 @@ def main():
     clip_tok = load_clip_tokenizer(args.clip_bpe, expect_vocab=clip_cfg.text.vocab_size if args.clip_checkpoint else None)
     lm_tok = load_hf_tokenizer(args.tokenizer)
     tcfg = T5Config() if args.t5_size == "small" else T5Config.tiny()
+    tcfg = fit_t5_vocab(tcfg, lm_tok)
     ccfg = ClipCapConfig(prefix_length=args.prefix_length, attribute_length=0,
                          clip_dim=clip_cfg.text.embed_dim, mapper=args.mapping_type)
     params = init_clipcap_t5(jax.random.key(0), ccfg, tcfg)

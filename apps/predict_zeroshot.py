@@ -23,7 +23,7 @@ def main():
                    choices=["violation_type", "caption_type"])
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--arch", default="vit_b_32",
-                   choices=["vit_b_32", "vit_b_16", "vit_l_14", "tiny"])
+                   choices=["vit_b_32", "vit_b_16", "vit_l_14", "tiny", "tiny_bpe"])
     p.add_argument("--clip_bpe", default=None)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--plot", default=None, help="write similarity-matrix figure here")

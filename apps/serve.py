@@ -20,7 +20,7 @@ def main():
     p.add_argument("--clip_bpe", default=None)
     p.add_argument("--tokenizer", default="ckiplab/gpt2-base-chinese")
     p.add_argument("--arch", default="vit_b_32",
-                   choices=["vit_b_32", "vit_b_16", "vit_l_14", "tiny"])
+                   choices=["vit_b_32", "vit_b_16", "vit_l_14", "tiny", "tiny_bpe"])
     p.add_argument("--prefix_length", type=int, default=20)
     p.add_argument("--attribute_length", type=int, default=20)
     p.add_argument("--mapping_type", default="mlp")

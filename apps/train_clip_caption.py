@@ -31,7 +31,7 @@ def main():
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--clip_bpe", default=None)
     p.add_argument("--arch", default="vit_b_32",
-                   choices=["vit_b_32", "vit_b_16", "vit_l_14", "tiny"])
+                   choices=["vit_b_32", "vit_b_16", "vit_l_14", "tiny", "tiny_bpe"])
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--output_dir", default="models")
     p.add_argument("--output_prefix", default="clip_cap")

@@ -15,7 +15,7 @@ import os
 
 import numpy as np
 
-from common import enable_compilation_cache, load_hf_tokenizer
+from common import enable_compilation_cache, fit_t5_vocab, load_hf_tokenizer
 
 
 def main():
@@ -63,6 +63,7 @@ def main():
 
     tokenizer = load_hf_tokenizer(args.tokenizer)
     tcfg = T5Config() if args.t5_size == "small" else T5Config.tiny()
+    tcfg = fit_t5_vocab(tcfg, tokenizer)
     archive = load_archive(args.data)  # our .npz or the reference's .pkl
 
     # captions tokenized to max_length (reference ClipCocoDataset, train_t5.py:75)
@@ -117,6 +118,7 @@ def main():
 
     with StepWatchdog(timeout=600.0) as watchdog:
         def train_epoch(state, epoch):
+            m = None
             for batch in loader:
                 state, m = step_fn(state, frozen, batch)
                 timer.tick()
@@ -125,6 +127,13 @@ def main():
                 if s % 50 == 0:
                     logger.log(s, loss=float(m["loss"]), step_time=timer.mean)
                     print(f"epoch {epoch} step {s} loss {float(m['loss']):.4f}")
+            if m is None:
+                raise RuntimeError(
+                    f"epoch {epoch} ran zero steps: global batch "
+                    f"{args.bs} x {n_dev} devices > archive size — lower --bs "
+                    f"or the device count")
+            # epoch-end point so short runs still record a loss curve
+            logger.log(int(state.step), loss=float(m["loss"]), step_time=timer.mean)
             return state
 
         state = run_resilient(train_epoch, state, epochs=args.epochs,

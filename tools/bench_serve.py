@@ -8,6 +8,11 @@ Contracts (state which one a number is!):
   --detector   the reference's FULL route: Faster R-CNN detection + classify +
                caption on EVERY request (application.py:231-254, detection at
                :243), detection coalesced through the same drain batch
+  --trained D  load the e2e-trained checkpoints + tokenizers from run dir D
+               (tools/run_product_e2e.py output) instead of random weights:
+               the PRODUCT-realistic configuration, where peaked logits make
+               greedy decode hit EOS after a real caption length and the
+               decode while_loop early-exits instead of running all 100 steps
 
 Note on int8_caption_agreement: this bench runs RANDOM weights, where a
 100-step greedy decode chaotically amplifies the int8 tower's ~4e-4 feature
@@ -40,6 +45,9 @@ def main():
     ap.add_argument("--detector", action="store_true",
                     help="bench the FULL reference contract: detection + "
                          "classify + caption per request")
+    ap.add_argument("--trained", metavar="RUN_DIR", default=None,
+                    help="run dir of a tools/run_product_e2e.py run; bench "
+                         "with its trained checkpoints + real tokenizers")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -76,16 +84,56 @@ def main():
         def decode(self, ids, skip_special_tokens=True):
             return "".join(chr(0x4E00 + int(i) % 2000) for i in ids)
 
-    pipe = CaptionPipeline(
-        clip_params=init_clip(jax.random.key(0), clip_cfg), clip_cfg=clip_cfg,
-        cap_params=init_clipcap(jax.random.key(1), ccfg, gcfg), ccfg=ccfg,
-        gcfg=gcfg, clip_tokenizer=ClipTokenizer(f.name, n_merges=None),
-        lm_tokenizer=IdTok(), max_steps=100)
+    if args.trained:
+        # product configuration: the e2e run's fine-tuned CLIP + ClipCap and
+        # its real tokenizers. Greedy decode stops at each caption's EOS
+        # (decode.py cond: all-done early exit) instead of burning 100 steps.
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "apps"))
+        from common import load_clip, load_clip_tokenizer, load_hf_tokenizer
+        from construction_clip_tpu.train.checkpoint import load_params_npz
+
+        d = args.trained
+        clip_params, clip_cfg = load_clip(
+            os.path.join(d, "models", "clip_latest.npz"), arch="vit_b_32")
+        cap_params = load_params_npz(
+            os.path.join(d, "models", "clipcap.npz"),
+            init_clipcap(jax.random.key(1), ccfg, gcfg))
+        pipe = CaptionPipeline(
+            clip_params=clip_params, clip_cfg=clip_cfg,
+            cap_params=cap_params, ccfg=ccfg, gcfg=gcfg,
+            clip_tokenizer=load_clip_tokenizer(
+                os.path.join(d, "assets", "clip_bpe_offline.txt.gz"),
+                expect_vocab=clip_cfg.text.vocab_size),
+            lm_tokenizer=load_hf_tokenizer(
+                os.path.join(d, "assets", "bert_zh_vocab")),
+            max_steps=100)
+    else:
+        pipe = CaptionPipeline(
+            clip_params=init_clip(jax.random.key(0), clip_cfg), clip_cfg=clip_cfg,
+            cap_params=init_clipcap(jax.random.key(1), ccfg, gcfg), ccfg=ccfg,
+            gcfg=gcfg, clip_tokenizer=ClipTokenizer(f.name, n_merges=None),
+            lm_tokenizer=IdTok(), max_steps=100)
     os.unlink(f.name)
 
     rng = np.random.default_rng(0)
     img = (rng.random((480, 640, 3)) * 255).astype(np.uint8)
     imgs = [(rng.random((480, 640, 3)) * 255).astype(np.uint8) for _ in range(8)]
+    if args.trained:
+        # serve the run's own corpus images: real class structure -> realistic
+        # caption lengths (the early-exit benefit being measured)
+        import glob
+
+        from construction_clip_tpu.data.pipeline import default_load_image
+
+        paths = sorted(glob.glob(os.path.join(args.trained, "images", "**", "*"),
+                                 recursive=True))
+        paths = [p for p in paths if os.path.isfile(p)][:24]
+        if paths:
+            loaded = [default_load_image(p) for p in paths]
+            img, imgs = loaded[0], loaded[:8]
+            log(f"trained mode: serving {len(paths)} corpus images from "
+                f"{args.trained}/images")
 
     def warm_shapes(svc):
         """Compile every power-of-two batch shape by calling the pipeline
@@ -180,12 +228,22 @@ def main():
     mb, thr, lat_ms, p50, p99, thr_trials, svc = best
     results = {"contract": ("detect+classify+caption" if args.detector
                             else "classify+caption"),
+               "weights": (f"trained({args.trained})" if args.trained
+                           else "random"),
                "single_request_ms": round(lat_ms, 1),
                "concurrent_req_s_24way": round(thr, 2),
                "req_s_trials": thr_trials,
                "p50_ms": round(p50, 1), "p99_ms": round(p99, 1),
                "batch_window_ms": 25, "max_batch": mb}
     log(f"fp best: {results}")
+    if args.trained:
+        # caption-length evidence for the early-exit effect (and a sanity
+        # check that the model is producing real text, not collapse)
+        caps = [svc.predict(i)["caption"] for i in imgs]
+        results["caption_lengths"] = [len(c) for c in caps]
+        results["unique_captions"] = len(set(caps))
+        print(json.dumps(results, ensure_ascii=False))
+        return
     if args.detector:  # int8 section is the default contract's job
         print(json.dumps(results))
         return

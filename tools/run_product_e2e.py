@@ -12,6 +12,17 @@ with no hand edits (reference pipeline: CLIP/train.py:101 -> parse_coco.py:15
   stage 5  apps/score.py            char-BLEU + ROUGE vs the real captions
   stage 6  apps/visualize.py        loss curves PNG
 
+With --t5 (default), the reference's SECOND decoder family is chained through
+its own workflow (json_to_text.py -> train_tokenizer.py -> train_t5.py ->
+test_t5.py -> score.py, reference CLIP_prefix_caption/{train_t5.py:409,
+test_t5.py:457}):
+
+  stage 7  apps/json_to_text.py     caption text dump from the train split
+  stage 8  apps/train_tokenizer.py  BPE tokenizer trained on that dump
+  stage 9  apps/train_clipcap_t5.py mT5 caption training on stage-2 embeddings
+  stage 10 apps/predict_t5.py       greedy mT5 captions for the held-out split
+  stage 11 apps/score.py            char-BLEU + ROUGE for the mT5 captions
+
 Corpus: the real 806-annotation all.json (real Chinese captions/labels). The
 reference repo ships ZERO images, so pixels are synthesized deterministically
 per annotation with class-structured patterns (violation_type sets the stripe
@@ -27,8 +38,12 @@ or the train losses did not decrease.
 
 Real run (TPU):   python tools/run_product_e2e.py --workdir runs/e2e
 CPU smoke (tiny): python tools/run_product_e2e.py --workdir /tmp/e2e \
-                    --arch tiny_bpe --gpt_size tiny --subset 48 --clip_epochs 2 \
-                    --cap_epochs 4 --device cpu
+                    --arch tiny_bpe --gpt_size tiny --t5_size tiny --subset 48 \
+                    --clip_epochs 2 --cap_epochs 12 --t5_epochs 30 --warmup 4 \
+                    --device cpu
+                  (--warmup matters: the default 50-step warmup keeps the LR
+                   near zero for a tiny run's handful of steps, so the
+                   losses_decreased gate would fail vacuously)
 """
 
 from __future__ import annotations
@@ -199,6 +214,12 @@ def main():
                    help="stage-4 batch size (8 -> 24 beam rows, the shape "
                         "validated healthy on-chip; 16 -> 48 rows, the fp32 "
                         "worker-crash family)")
+    p.add_argument("--t5", action="store_true", default=True,
+                   help="also chain the mT5 decoder workflow (stages 7-11)")
+    p.add_argument("--no_t5", dest="t5", action="store_false")
+    p.add_argument("--t5_size", default="small", choices=["small", "tiny"])
+    p.add_argument("--t5_epochs", type=int, default=None,
+                   help="default: --cap_epochs")
     p.add_argument("--from_stage", type=int, default=1,
                    help="resume from stage N (artifacts of earlier stages must exist)")
     args = p.parse_args()
@@ -236,6 +257,16 @@ def main():
     cap_npz = os.path.join(models, "clipcap.npz")
 
     stages = []
+    # resuming: keep the stage records of the runs that produced the artifacts
+    # we consume, so summary.json stays the complete pipeline record
+    order = ["train_clip", "parse_corpus", "train_clipcap", "predict", "score",
+             "visualize", "json_to_text", "train_tokenizer", "train_clipcap_t5",
+             "predict_t5", "score_t5"]
+    if args.from_stage > 1 and os.path.exists(os.path.join(wd, "summary.json")):
+        prior = json.load(open(os.path.join(wd, "summary.json"),
+                               encoding="utf-8")).get("stages", [])
+        done = order[: args.from_stage - 1]
+        stages += [s for s in prior if s.get("stage") in done]
 
     def stage(n, name, argv):
         if args.from_stage > n:
@@ -287,52 +318,102 @@ def main():
 
     clip_log = os.path.join(wd, "log_clip", "clip_comb9.jsonl")
     cap_log = os.path.join(wd, "log_cap", "clipcap.jsonl")
+    t5_log = os.path.join(wd, "log_t5", "t5_prefix.jsonl") if args.t5 else None
     stage(6, "visualize", [
         sys.executable, os.path.join(APPS, "visualize.py"),
         *[pth for pth in (clip_log, cap_log) if os.path.exists(pth)],
         "--keys", "loss", "--out", os.path.join(wd, "curves.png")])
 
+    if args.t5:
+        text_txt = os.path.join(wd, "text.txt")
+        bpe_json = os.path.join(assets, "chinese_bpe.json")
+        t5_npz = os.path.join(models, "t5_prefix.npz")
+
+        stage(7, "json_to_text", [
+            sys.executable, os.path.join(APPS, "json_to_text.py"),
+            "--json_path", paths["train"], "--out", text_txt, "--key", "caption"])
+
+        stage(8, "train_tokenizer", [
+            sys.executable, os.path.join(APPS, "train_tokenizer.py"),
+            "--input", text_txt, "--out", bpe_json])
+
+        stage(9, "train_clipcap_t5", [
+            sys.executable, os.path.join(APPS, "train_clipcap_t5.py"),
+            "--data", emb_npz, "--out_dir", models, "--prefix", "t5_prefix",
+            "--epochs", str(args.t5_epochs or args.cap_epochs),
+            "--save_every", str(args.t5_epochs or args.cap_epochs),
+            "--bs", str(args.cap_bs), "--lr", str(args.cap_lr),
+            "--warmup_steps", str(args.warmup), "--t5_size", args.t5_size,
+            "--tokenizer", bpe_json, "--log_dir", os.path.join(wd, "log_t5")])
+
+        stage(10, "predict_t5", [
+            sys.executable, os.path.join(APPS, "predict_t5.py"),
+            "--json_path", paths["test"], "--image_root", img_root,
+            "--clip_checkpoint", clip_npz, "--arch", args.arch,
+            "--clip_bpe", merges, "--caption_checkpoint", t5_npz,
+            "--tokenizer", bpe_json, "--t5_size", args.t5_size, "--greedy",
+            "--batch_size", str(args.predict_bs),
+            "--out", os.path.join(out_dir, "output_t5.json")])
+
+        stage(11, "score_t5", [
+            sys.executable, os.path.join(APPS, "score.py"),
+            os.path.join(out_dir, "output_t5.json")])
+
     summary(stages, wd, ok=True, clip_log=clip_log, cap_log=cap_log,
-            out_dir=out_dir)
+            out_dir=out_dir, t5_log=t5_log)
 
 
-def summary(stages, wd, *, ok, clip_log=None, cap_log=None, out_dir=None):
+def _read_score_json(stages, stage_name):
+    logs = [s for s in stages if s["stage"] == stage_name]
+    if not logs:
+        return None
+    try:
+        txt = open(logs[0]["log"], encoding="utf-8").read()
+        return json.loads(txt[txt.index("{"):])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _read_preds(out_dir, fname):
+    path = os.path.join(out_dir or "", fname)
+    if not (out_dir and os.path.exists(path)):
+        return None, None
+    preds = json.load(open(path, encoding="utf-8"))
+    return len(preds), len({p["caption"] for p in preds})
+
+
+def summary(stages, wd, *, ok, clip_log=None, cap_log=None, out_dir=None,
+            t5_log=None):
     out = {"ok": ok, "stages": stages}
     if ok:
-        clip_losses = read_losses(clip_log)
-        cap_losses = read_losses(cap_log)
-        score_log = [s for s in stages if s["stage"] == "score"]
-        bleu = None
-        if score_log:
-            try:
-                txt = open(score_log[0]["log"], encoding="utf-8").read()
-                bleu = json.loads(txt[txt.index("{"):])
-            except (ValueError, KeyError):
-                pass
-        preds_path = os.path.join(out_dir or "", "output_log.json")
-        n_preds = None
-        uniq_caps = None
-        if out_dir and os.path.exists(preds_path):
-            preds = json.load(open(preds_path, encoding="utf-8"))
-            n_preds = len(preds)
-            uniq_caps = len({p["caption"] for p in preds})
-
         def curve(pts):
             if not pts:
                 return None
             return {"first": pts[0], "last": pts[-1],
                     "min": min(p[1] for p in pts), "n": len(pts)}
 
+        n_preds, uniq_caps = _read_preds(out_dir, "output_log.json")
         out.update({
-            "clip_loss": curve(clip_losses), "caption_loss": curve(cap_losses),
-            "score": bleu, "n_predictions": n_preds,
+            "clip_loss": curve(read_losses(clip_log)),
+            "caption_loss": curve(read_losses(cap_log)),
+            "score": _read_score_json(stages, "score"),
+            "n_predictions": n_preds,
             "unique_captions": uniq_caps,
         })
-        cl, pl = out["clip_loss"], out["caption_loss"]
+        curves = [out["clip_loss"], out["caption_loss"]]
+        if t5_log is not None:
+            n_t5, uniq_t5 = _read_preds(out_dir, "output_t5.json")
+            out.update({
+                "t5_loss": curve(read_losses(t5_log)),
+                "t5_score": _read_score_json(stages, "score_t5"),
+                "t5_n_predictions": n_t5,
+                "t5_unique_captions": uniq_t5,
+            })
+            curves.append(out["t5_loss"])
         # a missing curve is a FAILURE (a zero-step stage once produced a
         # vacuous pass here), as is a curve that never drops 2% below start
         decreased = all(c is not None and c["min"] < c["first"][1] * 0.98
-                        for c in (cl, pl))
+                        for c in curves)
         out["losses_decreased"] = bool(decreased)
     path = os.path.join(wd, "summary.json")
     with open(path, "w", encoding="utf-8") as f:
