@@ -32,6 +32,16 @@ def main():
                    help="torchvision fasterrcnn .pth (the reference's model_final.pth)")
     p.add_argument("--enable_detector", action="store_true",
                    help="run the JAX Faster R-CNN (random weights without a ckpt)")
+    p.add_argument("--detector_image_size", type=int, default=800,
+                   help="detector staging square (800 = the reference's "
+                        "min-side; 512 = the documented fast config)")
+    p.add_argument("--detector_geometry", default="letterbox",
+                   choices=["letterbox", "crop"],
+                   help="letterbox = no-content-loss (reference transform "
+                        "contract); crop = center-crop fast path")
+    p.add_argument("--detector_num_classes", type=int, default=7,
+                   help="head size incl. background (reference "
+                        "application.py:14 builds 7)")
     p.add_argument("--batch_window_ms", type=float, default=0.0,
                    help=">0: coalesce concurrent requests into one device batch")
     p.add_argument("--max_batch", type=int, default=8)
@@ -71,7 +81,10 @@ def main():
     if args.enable_detector or args.detector_checkpoint:
         from construction_clip_tpu.serve.detector import JaxDetector, ThresholdWrapper
 
-        detector = ThresholdWrapper(JaxDetector(args.detector_checkpoint))
+        detector = ThresholdWrapper(JaxDetector(
+            args.detector_checkpoint, num_classes=args.detector_num_classes,
+            image_size=args.detector_image_size,
+            geometry=args.detector_geometry))
     serve(PredictService(pipe, detector=detector, use_beam=not args.greedy,
                          batch_window_ms=args.batch_window_ms,
                          max_batch=args.max_batch),

@@ -52,6 +52,35 @@ def host_shape_unify(img: np.ndarray, size: int) -> np.ndarray:
     return img
 
 
+def letterbox_dims(h: int, w: int, size: int) -> tuple[int, int]:
+    """Effective (nh, nw) of the content region after host_letterbox: long side
+    scaled to `size`, aspect preserved, each side at least 1 px."""
+    scale = size / max(h, w)
+    return (max(1, min(size, int(round(h * scale)))),
+            max(1, min(size, int(round(w * scale)))))
+
+
+def host_letterbox(img: np.ndarray, size: int) -> np.ndarray:
+    """Uniform [size,size,3] uint8 via aspect-preserving LONG-side scale +
+    zero pad (bottom/right). Unlike host_shape_unify's center crop, NO content
+    is discarded — the detection-serving contract: torchvision's
+    GeneralizedRCNNTransform resizes + batch-pads but never crops (the
+    reference feeds it raw uploads, application.py:55-61), so every pixel must
+    stay visible to the detector. Static square for one compiled program;
+    inverse map is a pure per-axis scale (see JaxDetector._map_back)."""
+    h, w = img.shape[:2]
+    nh, nw = letterbox_dims(h, w, size)
+    if (nh, nw) != (h, w):
+        ys = (np.arange(nh) * (h / nh)).astype(np.int32).clip(0, h - 1)
+        xs = (np.arange(nw) * (w / nw)).astype(np.int32).clip(0, w - 1)
+        img = img[ys][:, xs]
+    if (nh, nw) == (size, size):
+        return img
+    out = np.zeros((size, size, 3), dtype=img.dtype)
+    out[:nh, :nw] = img
+    return out
+
+
 class Prefetcher:
     """Wrap a host-batch iterator; keep `depth` batches in flight on device."""
 

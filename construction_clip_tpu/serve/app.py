@@ -97,8 +97,14 @@ class PredictService:
             with self._lock:
                 pred = self._caption_batch([staged])[0]
         else:
-            det_staged = (host_shape_unify(image_u8, self._det_size)
-                          if self._det_size else None)
+            # real detectors own their staging geometry (letterbox by default —
+            # the no-content-loss contract, serve/detector.py); fall back to
+            # the generic center-crop unify for detectors without stage()
+            det_staged = None
+            if self._det_size:
+                stage_fn = getattr(self.detector, "stage", None)
+                det_staged = (stage_fn(image_u8) if stage_fn
+                              else host_shape_unify(image_u8, self._det_size))
             if self._det_size is None:  # null detector: free, stays inline
                 detection = self.detector.detect(image_u8)
                 pred, _ = self._predict_batched(staged, None, image_u8.shape[:2])

@@ -38,11 +38,22 @@ class NullDetector:
 class JaxDetector:
     """The TPU-native Faster R-CNN (models/detection.py) behind the serving
     interface. checkpoint: torchvision-layout .pth state dict (the reference's
-    model_final.pth) or None (random weights — smoke/serving-shape testing)."""
+    model_final.pth) or None (random weights — smoke/serving-shape testing).
 
-    def __init__(self, checkpoint: str | None = None, *, num_classes: int = 8,
-                 image_size: int = 512, class_names=DETECTOR_CLASSES,
-                 compute_dtype=None):
+    Staging geometry: the reference's torchvision transform resizes
+    (min-side>=800, max-side<=1333) and batch-pads but NEVER crops
+    (application.py:55-61 -> GeneralizedRCNNTransform) — every uploaded pixel
+    reaches the detector. The default here matches that contract with a
+    static-shape equivalent: geometry="letterbox" scales the LONG side to
+    image_size (default 800) and zero-pads to a square, so no content is
+    discarded; boxes map back through a pure per-axis scale. geometry="crop"
+    (short-side scale + center crop, the pre-round-5 behavior) is retained as
+    a documented fast config — it discards the long-side bands, see PARITY.md.
+    Default num_classes=7 = the reference head (application.py:14)."""
+
+    def __init__(self, checkpoint: str | None = None, *, num_classes: int = 7,
+                 image_size: int = 800, geometry: str = "letterbox",
+                 class_names=DETECTOR_CLASSES, compute_dtype=None):
         """compute_dtype: detection compute precision; None = bf16 on TPU,
         fp32 elsewhere (box arithmetic is always fp32 — models/detection.py)."""
         import functools
@@ -64,7 +75,10 @@ class JaxDetector:
         else:
             self.params = det.init_fasterrcnn(jax.random.key(0),
                                               num_classes=num_classes)
+        if geometry not in ("letterbox", "crop"):
+            raise ValueError(f"geometry must be letterbox|crop, got {geometry!r}")
         self.image_size = image_size
+        self.geometry = geometry
         self.num_classes = num_classes
         self.class_names = class_names
         self._infer = det.fasterrcnn_infer
@@ -92,28 +106,50 @@ class JaxDetector:
         self._batch_infer = jax.jit(infer_u8_packed)
         self.compute_dtype = compute_dtype
 
+    def stage(self, image_u8: np.ndarray) -> np.ndarray:
+        """Host-stage one image to the detector's [S,S,3] uint8 input per the
+        configured geometry (the serve batcher calls this before coalescing)."""
+        from construction_clip_tpu.data.pipeline import host_letterbox, host_shape_unify
+
+        if self.geometry == "letterbox":
+            return host_letterbox(image_u8, self.image_size)
+        return host_shape_unify(image_u8, self.image_size)
+
     def _map_back(self, det_boxes, det_labels, det_scores, size) -> dict:
-        """Map detections from the staged square back to original resolution
-        (short-side scale + center crop)."""
+        """Map detections from the staged square back to original resolution.
+
+        letterbox: content occupies [0,nw)x[0,nh) of the square — a pure
+        per-axis downscale by (nw/w, nh/h), then clip to the image (torchvision
+        clip_boxes_to_image semantics). crop: short-side scale + center-crop
+        offsets (boxes can only land inside the central square — the cropped
+        bands are unreachable by construction)."""
         h, w = size
-        scale = min(h, w) / self.image_size
-        off_x = (max(w, h) - min(w, h)) / 2 if w > h else 0.0
-        off_y = (max(w, h) - min(w, h)) / 2 if h > w else 0.0
+        if self.geometry == "letterbox":
+            from construction_clip_tpu.data.pipeline import letterbox_dims
+
+            nh, nw = letterbox_dims(h, w, self.image_size)
+            sx, sy = nw / w, nh / h
+            off_x = off_y = 0.0
+        else:
+            sx = sy = self.image_size / min(h, w)
+            off_x = (max(w, h) - min(w, h)) / 2 if w > h else 0.0
+            off_y = (max(w, h) - min(w, h)) / 2 if h > w else 0.0
         boxes, labels, scores = [], [], []
         for b, l, s in zip(det_boxes, det_labels, det_scores):
             if s <= 0:
                 continue
-            boxes.append([float(b[0] * scale + off_x), float(b[1] * scale + off_y),
-                          float(b[2] * scale + off_x), float(b[3] * scale + off_y)])
+            x1 = min(max(float(b[0]) / sx + off_x, 0.0), w)
+            y1 = min(max(float(b[1]) / sy + off_y, 0.0), h)
+            x2 = min(max(float(b[2]) / sx + off_x, 0.0), w)
+            y2 = min(max(float(b[3]) / sy + off_y, 0.0), h)
+            boxes.append([x1, y1, x2, y2])
             labels.append(int(l))
             scores.append(float(s))
         return {"boxes": boxes, "labels": labels, "scores": scores}
 
     def detect(self, image_u8: np.ndarray) -> dict:
-        from construction_clip_tpu.data.pipeline import host_shape_unify
-
-        staged = host_shape_unify(image_u8, self.image_size)
-        return self.detect_batch(staged[None], [image_u8.shape[:2]])[0]
+        return self.detect_batch(self.stage(image_u8)[None],
+                                 [image_u8.shape[:2]])[0]
 
     def detect_batch(self, staged_u8, sizes) -> list[dict]:
         """staged_u8: [B, S, S, 3] uint8 (host_shape_unify'd); sizes: per-image
@@ -143,6 +179,13 @@ class ThresholdWrapper:
     @property
     def image_size(self):
         return getattr(self.inner, "image_size", None)
+
+    @property
+    def geometry(self):
+        return getattr(self.inner, "geometry", None)
+
+    def stage(self, image_u8: np.ndarray) -> np.ndarray:
+        return self.inner.stage(image_u8)
 
     def _apply(self, raw: dict) -> dict:
         boxes, labels, scores = [], [], []

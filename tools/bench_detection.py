@@ -113,6 +113,30 @@ def main():
     put_ms(results, f"det_infer_bf16_ms_b{B}", st, ndigits=1)
     put_rate(results, f"det_infer_bf16_img_s_b{B}", st, B)
     log(f"detection inference bf16 b={B}: {st[0]*1e3:.1f} ms ({B/st[0]:.1f} img/s)")
+    del fwd, fwd16, imgs
+
+    # the REFERENCE serving resolution: torchvision's transform puts the min
+    # side at 800 (application.py:55-61 -> GeneralizedRCNNTransform defaults);
+    # JaxDetector's round-5 default letterboxes the long side to 800. bf16 =
+    # the serving config at that geometry; 512 above is the documented fast
+    # config (PARITY.md).
+    S8, B8 = 800, 4
+    imgs800 = jnp.asarray(rng.random((B8, S8, S8, 3)).astype(np.float32))
+    fwd800 = jax.jit(jax.vmap(
+        functools.partial(fasterrcnn_infer, image_size=S8, num_classes=C,
+                          compute_dtype=jnp.bfloat16),
+        in_axes=(None, 0)))
+
+    def infer800():
+        return fwd800(params, imgs800)
+
+    infer800()
+    st = timed_windows(infer800, windows=5, iters=3, warmup=3,
+                       sync=lambda o: np.asarray(jax.tree.leaves(o)[0]))
+    put_ms(results, f"det_infer_bf16_ms_b{B8}_s800", st, ndigits=1)
+    put_rate(results, f"det_infer_bf16_img_s_b{B8}_s800", st, B8)
+    log(f"detection inference bf16 b={B8} s=800: {st[0]*1e3:.1f} ms "
+        f"({B8/st[0]:.1f} img/s)")
 
     print(json.dumps(results))
 

@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--trained", metavar="RUN_DIR", default=None,
                     help="run dir of a tools/run_product_e2e.py run; bench "
                          "with its trained checkpoints + real tokenizers")
+    ap.add_argument("--det_size", type=int, default=800,
+                    help="detector staging square (800 = reference min-side "
+                         "contract; 512 = documented fast config)")
+    ap.add_argument("--det_geometry", default="letterbox",
+                    choices=["letterbox", "crop"])
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -215,7 +220,10 @@ def main():
         from construction_clip_tpu.serve.detector import (JaxDetector,
                                                           ThresholdWrapper)
 
-        detector = ThresholdWrapper(JaxDetector())  # random weights, S=512
+        # random weights; geometry/size per flags (defaults = the reference
+        # contract: letterbox, long-side 800 — no content loss)
+        detector = ThresholdWrapper(JaxDetector(
+            image_size=args.det_size, geometry=args.det_geometry))
     best = None
     for mb in (16, 32):
         svc = PredictService(pipe, detector=detector, use_beam=False,
@@ -228,6 +236,8 @@ def main():
     mb, thr, lat_ms, p50, p99, thr_trials, svc = best
     results = {"contract": ("detect+classify+caption" if args.detector
                             else "classify+caption"),
+               **({"det_size": args.det_size,
+                   "det_geometry": args.det_geometry} if args.detector else {}),
                "weights": (f"trained({args.trained})" if args.trained
                            else "random"),
                "single_request_ms": round(lat_ms, 1),

@@ -27,6 +27,12 @@ BENCHES = [
     ("serve", [sys.executable, os.path.join(REPO, "tools/bench_serve.py")]),
     ("serve_detector", [sys.executable, os.path.join(REPO, "tools/bench_serve.py"),
                         "--detector"]),
+    # the retained fast config (512 px center crop) alongside the default
+    # reference-contract geometry (letterbox 800) above
+    ("serve_detector_512crop", [sys.executable,
+                                os.path.join(REPO, "tools/bench_serve.py"),
+                                "--detector", "--det_size", "512",
+                                "--det_geometry", "crop"]),
 ]
 
 

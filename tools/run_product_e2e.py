@@ -60,6 +60,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 APPS = os.path.join(REPO, "apps")
 sys.path.insert(0, REPO)
 
+STAGE_ORDER = ["train_clip", "parse_corpus", "train_clipcap", "predict",
+               "score", "visualize", "json_to_text", "train_tokenizer",
+               "train_clipcap_t5", "predict_t5", "score_t5"]
+
 
 # ---------------------------------------------------------------- synthesis
 
@@ -222,6 +226,11 @@ def main():
                    help="default: --cap_epochs")
     p.add_argument("--from_stage", type=int, default=1,
                    help="resume from stage N (artifacts of earlier stages must exist)")
+    p.add_argument("--stages", default=None,
+                   help="comma-separated stage names to (re)run; all other "
+                        "stages are skipped and their records from the prior "
+                        "summary.json are preserved (e.g. --stages predict,score "
+                        "to re-decode on a different --device)")
     args = p.parse_args()
 
     wd = os.path.abspath(args.workdir)
@@ -259,18 +268,23 @@ def main():
     stages = []
     # resuming: keep the stage records of the runs that produced the artifacts
     # we consume, so summary.json stays the complete pipeline record
-    order = ["train_clip", "parse_corpus", "train_clipcap", "predict", "score",
-             "visualize", "json_to_text", "train_tokenizer", "train_clipcap_t5",
-             "predict_t5", "score_t5"]
-    if args.from_stage > 1 and os.path.exists(os.path.join(wd, "summary.json")):
+    order = STAGE_ORDER
+    if args.stages:
+        selected = {s.strip() for s in args.stages.split(",")}
+        unknown = selected - set(order)
+        if unknown:
+            sys.exit(f"unknown --stages {sorted(unknown)}; choose from {order}")
+    else:
+        selected = set(order[args.from_stage - 1:])
+    if (selected != set(order)
+            and os.path.exists(os.path.join(wd, "summary.json"))):
         prior = json.load(open(os.path.join(wd, "summary.json"),
                                encoding="utf-8")).get("stages", [])
-        done = order[: args.from_stage - 1]
-        stages += [s for s in prior if s.get("stage") in done]
+        stages += [s for s in prior if s.get("stage") in set(order) - selected]
 
     def stage(n, name, argv):
-        if args.from_stage > n:
-            print(f"=== stage {name}: skipped (--from_stage {args.from_stage})")
+        if name not in selected:
+            print(f"=== stage {name}: skipped (resume: record preserved)")
             return
         res = run_stage(name, argv, env, os.path.join(logdir, f"{name}.log"))
         stages.append(res)
@@ -384,6 +398,8 @@ def _read_preds(out_dir, fname):
 
 def summary(stages, wd, *, ok, clip_log=None, cap_log=None, out_dir=None,
             t5_log=None):
+    stages = sorted(stages, key=lambda s: STAGE_ORDER.index(s["stage"])
+                    if s.get("stage") in STAGE_ORDER else 99)
     out = {"ok": ok, "stages": stages}
     if ok:
         def curve(pts):
