@@ -83,7 +83,11 @@ def render_readme(snap) -> str:
          "torchvision-faithful; inference "
          f"{c('detection', 'det_infer_img_s_b8', 'img/s')} fp32"
          + (f" / {c('detection', 'det_infer_bf16_img_s_b8', 'img/s')} bf16"
-            if "det_infer_bf16_img_s_b8" in (snap.get("detection") or {}) else ""),
+            if "det_infer_bf16_img_s_b8" in (snap.get("detection") or {}) else "")
+         + (f"; at the reference 800 px serving geometry "
+            f"{c('detection', 'det_infer_bf16_img_s_b4_s800', 'img/s')} bf16 b=4"
+            if "det_infer_bf16_img_s_b4_s800" in (snap.get("detection") or {})
+            else ""),
          "torchvision fasterrcnn_resnet50_fpn (train recipe outside the repo)"),
     ]
     lines = ["| metric | this framework (1x v5e chip) | reference |", "|---|---|---|"]
@@ -117,9 +121,17 @@ def render_readme(snap) -> str:
             f"{c('serve_detector', 'concurrent_req_s_24way', 'req/s')} under "
             f"24-way concurrency (p50 {_fmt_num(det.get('p50_ms', '—'))} ms, "
             f"p99 {_fmt_num(det.get('p99_ms', '—'))} ms, single-request "
-            f"{_fmt_num(det.get('single_request_ms', '—'))} ms) — "
+            f"{_fmt_num(det.get('single_request_ms', '—'))} ms) at the "
+            f"reference detector geometry "
+            f"({_fmt_num(det.get('det_geometry', 'letterbox'))} "
+            f"{_fmt_num(det.get('det_size', 800))} px, no content loss) — "
             "`tools/bench_serve.py --detector`; the paragraph above is the "
-            "lighter classify+caption contract.",
+            "lighter classify+caption contract."
+            + (f" Fast detector config (512 px center crop, documented "
+               f"band-blind divergence, PARITY.md): "
+               f"{c('serve_detector_512crop', 'concurrent_req_s_24way', 'req/s')}"
+               f" (p99 {_fmt_num((snap.get('serve_detector_512crop') or {}).get('p99_ms', '—'))} ms)."
+               if "serve_detector_512crop" in snap else ""),
         ]
     return "\n".join(lines)
 
@@ -165,7 +177,11 @@ def render_baseline(snap) -> str:
          f"{c('detection', 'det_step_ms_b8_tv_faithful', 'ms')} tv-faithful; "
          f"inference {c('detection', 'det_infer_img_s_b8', 'img/s')} fp32"
          + (f" / {c('detection', 'det_infer_bf16_img_s_b8', 'img/s')} bf16"
-            if "det_infer_bf16_img_s_b8" in (snap.get("detection") or {}) else ""),
+            if "det_infer_bf16_img_s_b8" in (snap.get("detection") or {}) else "")
+         + (f"; 800 px (reference geometry) "
+            f"{c('detection', 'det_infer_bf16_img_s_b4_s800', 'img/s')} bf16 b=4"
+            if "det_infer_bf16_img_s_b4_s800" in (snap.get("detection") or {})
+            else ""),
          "measure", "`tools/bench_detection.py`"),
         ("Serving (classify→caption, in-process, greedy)",
          f"{c('serve', 'concurrent_req_s_24way', 'req/s')} @ 24-way (p50 "
@@ -177,13 +193,23 @@ def render_baseline(snap) -> str:
          "≥20 req/s", "`tools/bench_serve.py`"),
     ]
     if "serve_detector" in snap:
+        sd = snap["serve_detector"]
         rows.append((
-            "Serving FULL reference contract (detect+classify+caption/req)",
+            "Serving FULL reference contract (detect+classify+caption/req, "
+            f"{sd.get('det_geometry', 'letterbox')} {sd.get('det_size', 800)} px)",
             f"{c('serve_detector', 'concurrent_req_s_24way', 'req/s')} @ 24-way "
             f"(p50 {c('serve_detector', 'p50_ms', 'ms')}, p99 "
             f"{c('serve_detector', 'p99_ms', 'ms')}, single-request "
             f"{c('serve_detector', 'single_request_ms', 'ms')})",
             "measure", "`tools/bench_serve.py --detector`"))
+    if "serve_detector_512crop" in snap:
+        rows.append((
+            "Full contract, fast detector config (512 px center crop — "
+            "band-blind, PARITY.md)",
+            f"{c('serve_detector_512crop', 'concurrent_req_s_24way', 'req/s')} "
+            f"@ 24-way (p99 {c('serve_detector_512crop', 'p99_ms', 'ms')})",
+            "measure",
+            "`tools/bench_serve.py --detector --det_size 512 --det_geometry crop`"))
     lines = ["| Metric | Measured (median [min–max] over ≥5 windows) | Target | Source |",
              "|---|---|---|---|"]
     lines += [f"| {m} | {v} | {t} | {s} |" for m, v, t, s in rows]
