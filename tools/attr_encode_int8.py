@@ -148,6 +148,24 @@ def main():
 
     proj_ms = bench("int8_gemm_proj_ms", proj_body, flat, (layer0,))
 
+    # ---- SAME-WINDOW bf16 A/B (tunnel weather shifts absolute numbers
+    # run-to-run; the int8-vs-bf16 delta is only honest measured in one
+    # window — BASELINE.md "Decode-row provenance" discipline) ----
+    from construction_clip_tpu.core.precision import BF16_POLICY
+    from construction_clip_tpu.models.blocks import apply_block
+    from construction_clip_tpu.models.clip import encode_image
+    from construction_clip_tpu.ops.activations import quick_gelu as qg
+
+    blayer0 = jax.tree.map(
+        lambda z: z[0].astype(jnp.bfloat16) if jnp.issubdtype(
+            z.dtype, jnp.floating) else z[0],
+        params["vision"]["blocks"])
+
+    def bf16_layer_body(x, lp):
+        return apply_block(lp, x, n_heads=H, act=qg)
+
+    bf16_layer_ms = bench("bf16_layer_ms", bf16_layer_body, x0, (blayer0,))
+
     # ---- whole-model encodes for the end-to-end fractions ----
     imgs = jax.random.normal(jax.random.key(2), (B, 224, 224, 3), jnp.float32)
     enc_q = jax.jit(lambda p, x: encode_image_int8(p, cfg, x, normalize=True))
@@ -157,6 +175,18 @@ def main():
     total_ms = put_ms(results, "int8_encode_ms_batch", st, ndigits=2)
     log(f"int8 whole encode: {total_ms:.2f} ms/batch "
         f"({B / st[0]:.0f} img/s)")
+
+    enc_bf = jax.jit(lambda p, x: encode_image(p, cfg, x, policy=BF16_POLICY,
+                                               normalize=True))
+    np.asarray(enc_bf(params, imgs))
+    st = timed_windows(lambda: enc_bf(params, imgs), windows=5, iters=10,
+                       sync=lambda o: np.asarray(o[0, 0]))
+    bf16_total_ms = put_ms(results, "bf16_encode_ms_batch", st, ndigits=2)
+    results["int8_speedup_vs_bf16_same_window"] = round(
+        bf16_total_ms / total_ms, 3)
+    log(f"bf16 whole encode (same window): {bf16_total_ms:.2f} ms/batch "
+        f"({B / st[0]:.0f} img/s); int8 speedup x"
+        f"{bf16_total_ms / total_ms:.3f}")
 
     # ---- derived attribution ----
     layers_ms = 12 * layer_ms
