@@ -53,6 +53,9 @@ def main():
                          "contract; 512 = documented fast config)")
     ap.add_argument("--det_geometry", default="letterbox",
                     choices=["letterbox", "crop"])
+    ap.add_argument("--max_batches", type=int, nargs="*", default=[16, 32],
+                    help="max_batch sweep values (H2D-bound configs like the "
+                         "800px detector can prefer smaller drains)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -225,7 +228,7 @@ def main():
         detector = ThresholdWrapper(JaxDetector(
             image_size=args.det_size, geometry=args.det_geometry))
     best = None
-    for mb in (16, 32):
+    for mb in args.max_batches:
         svc = PredictService(pipe, detector=detector, use_beam=False,
                              batch_window_ms=25, max_batch=mb)
         lat_ms, thr, p50, p99, thr_trials = drive(svc)
